@@ -1,0 +1,282 @@
+"""Layer primitives with reference-matching numerics.
+
+Re-implements the semantics of the reference layer DSL
+(reference: cnn_wrapper/network.py) as Flax modules:
+
+  * ConvGN / DeconvGN — conv (2D, no bias) + channel-wise group norm with
+    groups = max(1, C // group_channel), eps 1e-5, per-channel gamma/beta,
+    then ReLU (network.py:217-276, 350-409).
+  * ConvBN / DeconvBN — conv (2D or 3D by rank, no bias) + batch norm with
+    running stats (momentum 0.99, eps 1e-5), then ReLU (network.py:278-298,
+    331-348, 492-509).
+  * Conv / Deconv — plain conv, rank-dispatched, optional bias/ReLU
+    (network.py:171-215, 300-329).
+  * flexible group_norm with the ConvGRU fallbacks: G==1 -> layer norm,
+    G>=C -> instance norm (convgru.py:9-52).
+
+All convs run in the configured compute dtype (bf16 on TPU for MXU
+throughput) with f32 parameters and f32 normalization statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Union[str, jnp.dtype]
+
+
+def _pair(k, n):
+    if isinstance(k, (tuple, list)):
+        return tuple(k)
+    return (k,) * n
+
+
+class Conv(nn.Module):
+    """2D/3D conv dispatched by input rank (reference: network.py:203-215)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    use_bias: bool = True
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2  # spatial dims
+        y = nn.Conv(
+            features=self.filters,
+            kernel_size=_pair(self.kernel, ndim),
+            strides=_pair(self.stride, ndim),
+            kernel_dilation=_pair(self.dilation, ndim),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class Deconv(nn.Module):
+    """2D/3D transposed conv, SAME padding: out = in * stride
+    (reference: network.py:300-329)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 2
+    relu: bool = True
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2
+        y = nn.ConvTranspose(
+            features=self.filters,
+            kernel_size=_pair(self.kernel, ndim),
+            strides=_pair(self.stride, ndim),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+def group_norm_core(x, gamma, beta, num_groups: int, eps: float):
+    """Normalize (N, ..., C) over [channels-within-group + all spatial dims].
+
+    Grouping follows the reference reshape [N, G, C//G, H, W] on a NCHW
+    transpose (network.py:240-254): channel c belongs to group c // (C//G).
+    """
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    N = x.shape[0]
+    C = x.shape[-1]
+    spatial = x.shape[1:-1]
+    G = num_groups
+    # (N, spatial..., G, C//G) -> moments over spatial + C//G per (N, G)
+    xg = x.reshape(N, -1, G, C // G)
+    xg = jnp.moveaxis(xg, 2, 1)                   # (N, G, S, C//G)
+    mean = xg.mean(axis=(2, 3), keepdims=True)
+    var = xg.var(axis=(2, 3), keepdims=True)
+    xg = (xg - mean) / jnp.sqrt(var + eps)
+    x = jnp.moveaxis(xg, 1, 2).reshape(N, *spatial, C)
+    y = x * gamma + beta
+    return y.astype(orig_dtype)
+
+
+class GroupNormRef(nn.Module):
+    """conv_gn-style group norm: channel-wise groups of `group_channel`
+    channels, eps 1e-5 (reference: network.py:240-276)."""
+
+    group_channel: int = 8
+    eps: float = 1e-5
+    scale: bool = True
+    center: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = max(1, C // self.group_channel)
+        gamma = (self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+                 if self.scale else jnp.ones((C,), jnp.float32))
+        beta = (self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+                if self.center else jnp.zeros((C,), jnp.float32))
+        return group_norm_core(x, gamma, beta, G, self.eps)
+
+
+class GroupNormFlexible(nn.Module):
+    """ConvGRU group_norm with fallbacks (reference: convgru.py:9-52):
+      G == 1  -> layer norm over (spatial, C), eps 1e-12
+      G >= C  -> instance norm (per-channel over spatial), eps 1e-6
+      else    -> group norm, eps 1e-5
+    Always learns per-channel gamma/beta (tf.contrib defaults)."""
+
+    group_channel: int = 16
+    channel_wise: bool = True
+    group: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = max(1, C // self.group_channel) if self.channel_wise else min(self.group, C)
+        gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if G == 1:
+            eps = 1e-12
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(1, x.ndim))
+            mean = x32.mean(axis=axes, keepdims=True)
+            var = x32.var(axis=axes, keepdims=True)
+            y = (x32 - mean) / jnp.sqrt(var + eps) * gamma + beta
+            return y.astype(x.dtype)
+        if G >= C:
+            eps = 1e-6
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(1, x.ndim - 1))
+            mean = x32.mean(axis=axes, keepdims=True)
+            var = x32.var(axis=axes, keepdims=True)
+            y = (x32 - mean) / jnp.sqrt(var + eps) * gamma + beta
+            return y.astype(x.dtype)
+        return group_norm_core(x, gamma, beta, G, 1e-5)
+
+
+class BatchNormRef(nn.Module):
+    """Batch norm with running stats, matching tf.layers.batch_normalization
+    defaults used by the reference (momentum 0.99, eps 1e-5; center/scale
+    per call site) (reference: network.py:492-509)."""
+
+    center: bool = True
+    scale: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, training: bool):
+        return nn.BatchNorm(
+            use_running_average=not training,
+            momentum=self.momentum,
+            epsilon=self.eps,
+            use_bias=self.center,
+            use_scale=self.scale,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvGN(nn.Module):
+    """conv (no bias) -> group norm -> ReLU (reference: network.py:217-276)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    center: bool = True
+    scale: bool = True
+    group_channel: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = Conv(self.filters, self.kernel, self.stride, relu=False,
+                 use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = GroupNormRef(self.group_channel, scale=self.scale, center=self.center,
+                         name="gn")(y)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class DeconvGN(nn.Module):
+    """deconv (no bias) -> group norm [-> ReLU; reference default relu=False]
+    (reference: network.py:350-409)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 2
+    relu: bool = False
+    center: bool = True
+    scale: bool = True
+    group_channel: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = Deconv(self.filters, self.kernel, self.stride, relu=False,
+                   use_bias=False, dtype=self.dtype, name="deconv")(x)
+        y = GroupNormRef(self.group_channel, scale=self.scale, center=self.center,
+                         name="gn")(y)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) -> batch norm -> ReLU (reference: network.py:278-298)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    center: bool = True
+    scale: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Conv(self.filters, self.kernel, self.stride, relu=False,
+                 use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = BatchNormRef(center=self.center, scale=self.scale, name="bn")(y, training)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class DeconvBN(nn.Module):
+    """deconv (no bias) -> batch norm -> ReLU (reference: network.py:331-348)."""
+
+    filters: int
+    kernel: int = 3
+    stride: int = 2
+    relu: bool = True
+    center: bool = True
+    scale: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = Deconv(self.filters, self.kernel, self.stride, relu=False,
+                   use_bias=False, dtype=self.dtype, name="deconv")(x)
+        y = BatchNormRef(center=self.center, scale=self.scale, name="bn")(y, training)
+        if self.relu:
+            y = nn.relu(y)
+        return y

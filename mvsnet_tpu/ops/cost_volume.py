@@ -1,0 +1,111 @@
+"""Plane-sweep variance cost volume.
+
+The signature op of MVSNet: for every depth hypothesis d, warp every source
+view's feature map into the reference frame and aggregate the per-pixel
+*variance* across views (reference view included):
+
+  cost(d) = E_v[f_v(d)^2] - E_v[f_v(d)]^2        (reference: model.py:314-334)
+
+The reference unrolls a D x (V-1) python loop into the TF graph (384 warp
+ops) or a sequential tf.while_loop with assign-add accumulator Variables
+(model.py:422-463). Here the sweep is a `lax.scan` over depth chunks with
+functional accumulators:
+  * O(chunk) memory in D — the V warped volumes are never materialized,
+  * static shapes and a single traced warp body (fast compile),
+  * accumulation in f32 even when features are bf16, because the
+    E[f^2]-E[f]^2 form is cancellation-prone.
+
+A fused Pallas kernel for warp+variance lives in ops/pallas/sweep.py; this
+module is the pure-XLA reference implementation and the fallback on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mvsnet_tpu.ops.warp import bilinear_sample, projected_coords
+
+
+def _sweep_chunk(ref_feature, view_features, homs_chunk, fill_mode):
+    """Cost for one chunk of depth planes.
+
+    Args:
+      ref_feature: (B, H, W, C).
+      view_features: (V-1, B, H, W, C).
+      homs_chunk: (V-1, B, dc, 3, 3).
+    Returns:
+      (B, dc, H, W, C) variance cost, f32.
+    """
+    V_minus_1, B, dc = homs_chunk.shape[:3]
+    view_num = V_minus_1 + 1
+    H, W, C = ref_feature.shape[1:]
+
+    ref32 = ref_feature.astype(jnp.float32)
+    s = jnp.broadcast_to(ref32[:, None], (B, dc, H, W, C))
+    s2 = jnp.broadcast_to(jnp.square(ref32)[:, None], (B, dc, H, W, C))
+
+    def add_view(carry, inputs):
+        s, s2 = carry
+        feat, homs = inputs                       # (B,H,W,C), (B,dc,3,3)
+
+        def warp_one(img, hs):                    # (H,W,C), (dc,3,3)
+            x, y = projected_coords(hs, H, W)
+            out = jax.vmap(lambda xs, ys: bilinear_sample(img, xs, ys, fill_mode))(x, y)
+            return out.reshape(dc, H, W, C)
+
+        warped = jax.vmap(warp_one)(feat, homs).astype(jnp.float32)
+        return (s + warped, s2 + jnp.square(warped)), None
+
+    (s, s2), _ = jax.lax.scan(add_view, (s, s2), (view_features, homs_chunk))
+    mean = s / view_num
+    return s2 / view_num - jnp.square(mean)
+
+
+def plane_sweep_cost_volume(ref_feature, view_features, homographies,
+                            depth_chunk: int = 16, fill_mode: str = "zeros",
+                            out_dtype=None):
+    """Build the full (B, D, H, W, C) variance cost volume.
+
+    Args:
+      ref_feature: (B, H, W, C) reference features.
+      view_features: (V-1, B, H, W, C) source-view features.
+      homographies: (V-1, B, D, 3, 3) from ops.geometry.homographies_for_views.
+      depth_chunk: planes per scan step (memory/parallelism dial; D is padded
+        to a multiple of this, extra planes are computed then dropped).
+      out_dtype: cost dtype (default: ref_feature.dtype).
+    """
+    V_minus_1, B, D = homographies.shape[:3]
+    H, W, C = ref_feature.shape[1:]
+    out_dtype = out_dtype or ref_feature.dtype
+    depth_chunk = min(depth_chunk, D)
+
+    n_chunks = -(-D // depth_chunk)
+    D_pad = n_chunks * depth_chunk
+    if D_pad != D:
+        pad = [(0, 0), (0, 0), (0, D_pad - D), (0, 0), (0, 0)]
+        homographies = jnp.pad(homographies, pad, mode="edge")
+
+    # (n_chunks, V-1, B, dc, 3, 3)
+    homs = homographies.reshape(V_minus_1, B, n_chunks, depth_chunk, 3, 3)
+    homs = jnp.moveaxis(homs, 2, 0)
+
+    def step(_, homs_chunk):
+        cost = _sweep_chunk(ref_feature, view_features, homs_chunk, fill_mode)
+        return None, cost.astype(out_dtype)
+
+    _, costs = jax.lax.scan(step, None, homs)         # (n_chunks, B, dc, H, W, C)
+    cost_volume = jnp.moveaxis(costs, 0, 1).reshape(B, D_pad, H, W, C)
+    return cost_volume[:, :D]
+
+
+def cost_slice(ref_feature, view_features, homographies_d, fill_mode: str = "zeros"):
+    """Single-depth-plane cost (for the R-MVSNet GRU sweep).
+
+    Args:
+      homographies_d: (V-1, B, 3, 3) homographies at one depth.
+    Returns:
+      (B, H, W, C) variance cost, f32.
+    """
+    cost = _sweep_chunk(ref_feature, view_features, homographies_d[:, :, None], fill_mode)
+    return cost[:, 0]
