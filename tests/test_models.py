@@ -1,0 +1,183 @@
+"""Model zoo: shapes, norm semantics, channel scaling, graph outputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvsnet_tpu.config import ModelConfig, scaled_filters
+from mvsnet_tpu.models import MVSNet, RegNetUS0, UNetDS2GN
+from mvsnet_tpu.models.gru import ConvGRUCell, GRURegularizer, gru_filter_sizes
+from mvsnet_tpu.models.layers import GroupNormRef, group_norm_core
+
+
+def test_scaled_filters():
+    """network_mode width divisors (reference: network.py:75-85)."""
+    assert scaled_filters(8, "normal") == 8
+    assert scaled_filters(8, "semilite") == 6
+    assert scaled_filters(8, "lite") == 4
+    assert scaled_filters(8, "ultralite") == 2
+    assert scaled_filters(8, "fat") == 16
+    assert scaled_filters(32, "lite") == 16
+
+
+def test_group_norm_matches_numpy():
+    """group_norm_core == reference reshape-[N,G,C//G,H,W] moments form."""
+    rng = np.random.default_rng(0)
+    N, H, W, C, G = 2, 5, 6, 16, 2
+    x = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    gamma = rng.standard_normal(C).astype(np.float32)
+    beta = rng.standard_normal(C).astype(np.float32)
+    got = np.asarray(group_norm_core(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), G, 1e-5))
+
+    # numpy reference: NCHW transpose, reshape (N, G, C//G, H, W)
+    xt = x.transpose(0, 3, 1, 2).reshape(N, G, C // G, H, W)
+    mean = xt.mean(axis=(2, 3, 4), keepdims=True)
+    var = xt.var(axis=(2, 3, 4), keepdims=True)
+    xn = (xt - mean) / np.sqrt(var + 1e-5)
+    xn = xn.reshape(N, C, H, W) * gamma[None, :, None, None] + beta[None, :, None, None]
+    expected = xn.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_ref_group_count():
+    """G = max(1, C // 8): C=4 -> single group over all channels."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    gn = GroupNormRef()
+    y, _ = gn.init_with_output(jax.random.PRNGKey(0), x)
+    # single-group normalization over (H, W, C): global moments ~ (0, 1)
+    y = np.asarray(y)
+    assert abs(y.mean()) < 1e-4
+    assert abs(y.std() - 1.0) < 1e-2
+
+
+@pytest.mark.parametrize("mode,expect_c", [("normal", 32), ("lite", 16), ("ultralite", 8)])
+def test_feature_tower_shapes(mode, expect_c):
+    """UNetDS2GN: (B,H,W,3) -> (B,H/4,W/4,4*base) (reference: mvsnetworks.py:53-115)."""
+    net = UNetDS2GN(network_mode=mode)
+    x = jnp.zeros((1, 64, 96, 3))
+    y, vars_ = net.init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == (1, 16, 24, expect_c)
+
+
+def test_regnet_shape():
+    net = RegNetUS0(network_mode="lite")
+    x = jnp.zeros((1, 16, 16, 24, 16))
+    y, vars_ = net.init_with_output(jax.random.PRNGKey(0), x, False)
+    assert y.shape == (1, 16, 16, 24, 1)
+    assert "batch_stats" in vars_
+
+
+def test_gru_filter_sizes():
+    assert gru_filter_sizes("normal") == (16, 4, 2)
+    assert gru_filter_sizes("lite") == (8, 2, 1)
+
+
+def test_conv_gru_cell():
+    cell = ConvGRUCell(filters=4)
+    x = jnp.ones((1, 8, 8, 6))
+    h = jnp.zeros((1, 8, 8, 4))
+    (y, h2), vars_ = cell.init_with_output(jax.random.PRNGKey(0), x, h)
+    assert y.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(h2))
+    assert np.abs(np.asarray(y)).max() <= 1.0 + 1e-5   # tanh-bounded blend of h=0 and y
+
+
+def test_gru_regularizer_step():
+    reg = GRURegularizer(network_mode="normal")
+    states = GRURegularizer.init_states(1, 8, 8, "normal")
+    x = jnp.ones((1, 8, 8, 32))
+    (out, new_states), vars_ = reg.init_with_output(jax.random.PRNGKey(0), x, states)
+    assert out.shape == (1, 8, 8, 1)
+    assert [s.shape[-1] for s in new_states] == [16, 4, 2]
+
+
+def _tiny_inputs(V=3, H=64, W=64, D=8):
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.standard_normal((1, V, H, W, 3)), jnp.float32)
+    K = np.array([[15.0, 0, W / 8], [0, 15.0, H / 8], [0, 0, 1]])
+    cam = np.zeros((2, 4, 4))
+    cam[0] = np.eye(4)
+    cam[1, :3, :3] = K
+    cam[1, 3] = [5.0, 0.5, D, 5.0 + (D - 1) * 0.5]
+    cams = jnp.asarray(np.stack([cam] * V))[None]
+    return images, cams, jnp.array([5.0]), jnp.array([0.5])
+
+
+def test_forward_3dcnn_bounds():
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32")
+    model = MVSNet(cfg)
+    images, cams, ds, di = _tiny_inputs(D=8)
+    vars_ = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                       method=MVSNet.forward_3dcnn)
+    depth, prob = model.apply(vars_, images, cams, ds, di, method=MVSNet.forward_3dcnn)
+    assert depth.shape == (1, 16, 16, 1)
+    assert prob.shape == (1, 16, 16, 1)
+    d = np.asarray(depth)
+    assert (d >= 5.0 - 1e-4).all() and (d <= 5.0 + 3.5 + 1e-4).all()
+    p = np.asarray(prob)
+    assert (p >= 0).all() and (p <= 1.0 + 1e-5).all()
+
+
+def test_forward_gru_paths_share_params():
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="lite", regularization="GRU",
+                      compute_dtype="float32")
+    model = MVSNet(cfg)
+    images, cams, ds, di = _tiny_inputs(D=8)
+    v1 = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                    method=MVSNet.forward_prob_recurrent)
+    # WTA must run with the *same* params (train ckpt -> decode)
+    depth, prob = model.apply(v1, images, cams, ds, di, method=MVSNet.forward_gru_wta)
+    assert depth.shape == (1, 16, 16, 1)
+    pv = model.apply(v1, images, cams, ds, di, method=MVSNet.forward_prob_recurrent)
+    assert pv.shape == (1, 8, 16, 16)
+    np.testing.assert_allclose(np.asarray(jnp.sum(pv, axis=1)), 1.0, atol=1e-5)
+    # WTA depth equals argmax of the softmax volume mapped to depth values
+    wta_idx = np.argmax(np.asarray(pv), axis=1)
+    expected_depth = 5.0 + wta_idx * 0.5
+    np.testing.assert_allclose(np.asarray(depth)[..., 0], expected_depth, atol=1e-5)
+
+
+def test_dim_constraint_raises():
+    cfg = ModelConfig(view_num=3, max_d=12, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32")
+    model = MVSNet(cfg)
+    images, cams, ds, di = _tiny_inputs(D=12)
+    with pytest.raises(ValueError, match="divisible by 8"):
+        model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                   method=MVSNet.forward_3dcnn)
+
+
+def test_refinement_graph():
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      refinement=True, refine_with_confidence=True,
+                      refinement_network="unet", upsample_before_refinement=True)
+    model = MVSNet(cfg)
+    images, cams, ds, di = _tiny_inputs(D=8)
+    vars_ = model.init(jax.random.PRNGKey(0), images, cams, ds, di, training=False)
+    depth, prob, refined, residual = model.apply(vars_, images, cams, ds, di, training=False)
+    assert refined.shape == (1, 64, 64, 1)
+    np.testing.assert_allclose(
+        np.asarray(refined),
+        np.asarray(residual) + np.asarray(jax.image.resize(depth, (1, 64, 64, 1), "bilinear")),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_compute_path():
+    """bf16 compute dtype: outputs still f32 and finite."""
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="bfloat16")
+    model = MVSNet(cfg)
+    images, cams, ds, di = _tiny_inputs(D=8)
+    vars_ = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                       method=MVSNet.forward_3dcnn)
+    depth, prob = model.apply(vars_, images, cams, ds, di, method=MVSNet.forward_3dcnn)
+    assert depth.dtype == jnp.float32
+    assert np.isfinite(np.asarray(depth)).all()
+    # params stay f32
+    leaves = jax.tree_util.tree_leaves(vars_["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
