@@ -1,0 +1,118 @@
+"""Training loop: loss decreases on synthetic data; checkpoint round-trip;
+CLI driver smoke test."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mvsnet_tpu import checkpoint as ckpt
+from mvsnet_tpu import train_lib
+from mvsnet_tpu.config import ModelConfig, TrainConfig
+from mvsnet_tpu.data import ClusterGenerator, batch_iterator
+from mvsnet_tpu.models import MVSNet
+from tests.synthetic_session import make_dataset
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_dataset(root, n_sessions=1, split="train", n_images=4)
+    gen = ClusterGenerator(root, view_num=3, image_width=64, image_height=64,
+                           depth_num=8, base_image_size=32, mode="train",
+                           flip_cams=False)
+    batch = next(batch_iterator(gen.iterate_once(), 1))
+    mcfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                       network_mode="ultralite", compute_dtype="float32")
+    tcfg = TrainConfig(optimizer="adam", base_lr=2e-3, loss_type="original",
+                       grad_loss=False)
+    model = MVSNet(mcfg)
+    state = train_lib.create_train_state(model, mcfg, tcfg,
+                                         jax.random.PRNGKey(0), batch)
+    return model, mcfg, tcfg, state, batch, root
+
+
+def test_overfit_single_batch(tiny_setup):
+    """20 adam steps on one batch must cut the loss substantially."""
+    model, mcfg, tcfg, state, batch, _ = tiny_setup
+    step_fn = train_lib.make_train_step(model, mcfg, tcfg, donate=False)
+    state0 = state
+    first = None
+    for i in range(20):
+        state, metrics = step_fn(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < 0.7 * first, f"loss did not drop: {first} -> {last}"
+
+
+def test_eval_step_runs(tiny_setup):
+    model, mcfg, tcfg, state, batch, _ = tiny_setup
+    eval_fn = train_lib.make_eval_step(model, mcfg, tcfg)
+    m = eval_fn(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["less_one"]) <= 1.0
+
+
+def test_lr_schedule_matches_reference():
+    """lr = base * gamma^(step/stepvalue), continuous (train.py:256-257)."""
+    tcfg = TrainConfig(base_lr=1e-3, stepvalue=70000, gamma=0.5)
+    sched = train_lib.lr_schedule(tcfg)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(70000)) == pytest.approx(5e-4, rel=1e-5)
+    assert float(sched(35000)) == pytest.approx(1e-3 * 0.5 ** 0.5, rel=1e-5)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    model, mcfg, tcfg, state, batch, _ = tiny_setup
+    base = str(tmp_path / "models")
+    ckpt.save_checkpoint(base, mcfg.regularization, mcfg.network_mode, 7, state)
+    assert ckpt.latest_step(base, mcfg.regularization, mcfg.network_mode) == 7
+    restored = ckpt.restore_checkpoint(base, mcfg.regularization,
+                                       mcfg.network_mode, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored.step == state.step
+
+
+def test_gru_train_step(tmp_path):
+    root = str(tmp_path)
+    make_dataset(root, n_sessions=1, split="train", n_images=3)
+    gen = ClusterGenerator(root, view_num=3, image_width=64, image_height=64,
+                           depth_num=8, base_image_size=32, mode="train",
+                           flip_cams=True)
+    batches = list(batch_iterator(gen.iterate_once(), 1))
+    assert len(batches) == 6    # 3 clusters x 2 (flip)
+    mcfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                       network_mode="lite", regularization="GRU",
+                       compute_dtype="float32")
+    tcfg = TrainConfig(optimizer="adam", base_lr=1e-3)
+    model = MVSNet(mcfg)
+    state = train_lib.create_train_state(model, mcfg, tcfg,
+                                         jax.random.PRNGKey(0), batches[0])
+    step_fn = train_lib.make_train_step(model, mcfg, tcfg, donate=False)
+    # one forward batch + one flipped batch (reverse sweep) must both work
+    state, m0 = step_fn(state, batches[0])
+    state, m1 = step_fn(state, batches[1])
+    assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+
+
+def test_cli_driver_smoke(tmp_path):
+    from mvsnet_tpu.train import main
+    root = str(tmp_path / "data")
+    make_dataset(root, n_sessions=1, split="train", n_images=3)
+    model_dir = str(tmp_path / "models")
+    rc = main([
+        "--train_data_root", root, "--model_dir", model_dir,
+        "--view_num", "3", "--max_d", "8", "--width", "64", "--height", "64",
+        "--base_image_size", "32", "--network_mode", "ultralite",
+        "--compute_dtype", "float32", "--epoch", "1", "--max_steps_per_epoch", "2",
+        "--optimizer", "adam", "--loss_type", "original", "--grad_loss", "false",
+        "--num_devices", "1", "--snapshot", "1000",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(model_dir, "metrics.jsonl"))
+    assert ckpt.latest_step(model_dir, "3DCNN", "ultralite") is not None
