@@ -1,0 +1,216 @@
+"""Prediction library: model loading, jitted inference, output writing.
+
+Parity with reference mvsnet/predictlib.py: data iterator setup
+(:33-56), model load (:69-76), graph selection by regularization /
+refinement (:79-99), PFM/PNG/cam output writing (:105-177), results CSV
+(:226-266). Fixes the reference's GRU-branch NameError (depth_num/depth_end
+out of scope, predictlib.py:94-96) by deriving them from the cam tensor.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvsnet_tpu import checkpoint as ckpt
+from mvsnet_tpu.config import DataConfig, ModelConfig
+from mvsnet_tpu.data import ClusterGenerator, PrefetchingLoader
+from mvsnet_tpu.data.transforms import scale_image
+from mvsnet_tpu.io.cams import write_cam_txt
+from mvsnet_tpu.io.images import (
+    write_confidence_png,
+    write_depth_png,
+    write_image,
+    write_inverse_depth_png,
+)
+from mvsnet_tpu.io.pfm import write_pfm
+from mvsnet_tpu.models import MVSNet
+from mvsnet_tpu.utils.logging import setup_logger
+from mvsnet_tpu.utils.paths import mkdir_p
+
+logger = setup_logger("mvsnet_tpu.predict")
+
+
+def setup_data_iterator(input_dir: str, mcfg: ModelConfig, benchmark: bool,
+                        max_clusters_per_session: Optional[int] = None,
+                        batch_size: int = 1):
+    """(reference: predictlib.py:33-56)"""
+    mode = "test" if benchmark else "inference"
+    gen = ClusterGenerator(
+        input_dir, mcfg.view_num, mcfg.width, mcfg.height, mcfg.max_d,
+        mcfg.interval_scale, mcfg.base_image_size, mode=mode,
+        output_scale=mcfg.sample_scale,
+        max_clusters_per_session=max_clusters_per_session)
+    return gen
+
+
+class Predictor:
+    """Loads a trained MVSNet and performs jitted depth+prob inference."""
+
+    def __init__(self, mcfg: ModelConfig, model_dir: Optional[str] = None,
+                 ckpt_step: Optional[int] = None):
+        self.mcfg = mcfg
+        self.model = MVSNet(mcfg)
+        self.model_dir = model_dir
+        self.ckpt_step = ckpt_step
+        self.variables = None
+        self._jit_fn = None
+
+    def _ensure_variables(self, images, cams, depth_start, depth_interval):
+        if self.variables is not None:
+            return
+        rng = jax.random.PRNGKey(0)
+        if self.mcfg.regularization == "GRU":
+            variables = self.model.init(rng, images, cams, depth_start,
+                                        depth_interval,
+                                        method=MVSNet.forward_prob_recurrent)
+        else:
+            variables = self.model.init(rng, images, cams, depth_start,
+                                        depth_interval, training=False)
+        if self.model_dir is not None:
+            from mvsnet_tpu.train_lib import TrainState, make_optimizer, TrainConfig  # noqa: PLC0415
+            import optax  # noqa: PLC0415
+            template = TrainState.create(
+                apply_fn=self.model.apply, params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                tx=optax.identity())
+            restored = ckpt.restore_checkpoint(
+                self.model_dir, self.mcfg.regularization, self.mcfg.network_mode,
+                template, self.ckpt_step)
+            variables = {"params": restored.params,
+                         "batch_stats": restored.batch_stats}
+            logger.info("Restored model from %s step %s", self.model_dir,
+                        self.ckpt_step)
+        self.variables = variables
+
+    def _build_jit(self):
+        mcfg = self.mcfg
+        model = self.model
+
+        def forward(variables, images, cams, depth_start, depth_interval, depth_end):
+            if mcfg.regularization == "GRU":
+                depth_map, prob_map = model.apply(
+                    variables, images, cams, depth_start,
+                    depth_interval=None, depth_end=depth_end,
+                    method=MVSNet.forward_gru_wta)
+                residual = jnp.zeros_like(depth_map)
+                return depth_map, prob_map, residual
+            depth_map, prob_map = model.apply(
+                variables, images, cams, depth_start, depth_interval,
+                training=False, method=MVSNet.forward_3dcnn)
+            if mcfg.refinement:
+                ref_image = images[:, 0]
+                refined, residual = model.apply(
+                    variables, depth_map, ref_image, prob_map, depth_start,
+                    depth_interval, training=False, method=MVSNet.refine)
+                return refined, prob_map, residual
+            return depth_map, prob_map, jnp.zeros_like(depth_map)
+
+        return jax.jit(forward)
+
+    def predict(self, images, cams, depth_start, depth_interval, depth_end):
+        """(depth_map, prob_map, residual) as numpy
+        (reference: predictlib.py:79-99)."""
+        images = jnp.asarray(images)
+        cams = jnp.asarray(cams)
+        self._ensure_variables(images, cams, depth_start, depth_interval)
+        if self._jit_fn is None:
+            self._jit_fn = self._build_jit()
+        out = self._jit_fn(self.variables, images, cams,
+                           jnp.asarray(depth_start), jnp.asarray(depth_interval),
+                           jnp.asarray(depth_end))
+        return tuple(np.asarray(o) for o in out)
+
+
+def depth_params_from_cams(scaled_cams):
+    """depth_start/interval/num/end from the scaled reference cam
+    (reference: predictlib.py:182-199)."""
+    depth_start = scaled_cams[:, 0, 1, 3, 0]
+    depth_interval = scaled_cams[:, 0, 1, 3, 1]
+    depth_num = int(scaled_cams[0, 0, 1, 3, 2])
+    depth_end = scaled_cams[:, 0, 1, 3, 3]
+    return depth_start, depth_interval, depth_num, depth_end
+
+
+def write_output_slice(output_dir: str, depth_map, prob_map, images, cams,
+                       full_cams, full_images, index, residual_depth_map=None,
+                       upsample: bool = False, sample_scale: float = 0.25,
+                       visualize: bool = False):
+    """Write one prediction (reference: predictlib.py:105-159)."""
+    depth_map = np.squeeze(np.asarray(depth_map))
+    prob_map = np.squeeze(np.asarray(prob_map))
+    if upsample:
+        ref_image = np.squeeze(full_images)[0]
+        ref_cam = np.squeeze(full_cams)[0]
+        prob_map = scale_image(prob_map, 1.0 / sample_scale, "nearest")
+    else:
+        ref_image = np.squeeze(images)[0]
+        ref_cam = np.squeeze(cams)[0]
+    index = int(np.squeeze(index))
+
+    write_pfm(os.path.join(output_dir, f"{index}_init.pfm"), depth_map.astype(np.float32))
+    write_pfm(os.path.join(output_dir, f"{index}_prob.pfm"), prob_map.astype(np.float32))
+    write_depth_png(os.path.join(output_dir, f"{index}_depth.png"), depth_map)
+    write_confidence_png(os.path.join(output_dir, f"{index}_prob.png"), prob_map)
+    # reference image: de-normalize centered floats to displayable range
+    img = ref_image
+    if img.dtype != np.uint8:
+        img = img - img.min()
+        peak = img.max()
+        img = (255 * img / peak if peak > 0 else img).astype(np.uint8)
+    write_image(os.path.join(output_dir, f"{index}.jpg"), img)
+    write_cam_txt(os.path.join(output_dir, f"{index}.txt"), ref_cam)
+    if visualize:
+        write_inverse_depth_png(
+            os.path.join(output_dir, f"{index}_depth_inverse.png"), depth_map)
+        if residual_depth_map is not None:
+            write_pfm(os.path.join(output_dir, f"{index}_residual.pfm"),
+                      np.squeeze(np.asarray(residual_depth_map)).astype(np.float32))
+
+
+def write_output(output_dir, depth_maps, prob_maps, images, cams, full_cams,
+                 full_images, indices, residuals=None, upsample=False,
+                 sample_scale=0.25, visualize=False):
+    """Batched output writer (reference: predictlib.py:162-177)."""
+    start = time.time()
+    B = depth_maps.shape[0]
+    for i in range(B):
+        write_output_slice(
+            output_dir, depth_maps[i], prob_maps[i], images[i], cams[i],
+            full_cams[i], full_images[i], indices[i],
+            None if residuals is None else residuals[i],
+            upsample=upsample, sample_scale=sample_scale, visualize=visualize)
+    logger.info("Time to write prediction results: %.3f s", time.time() - start)
+
+
+RESULTS_HEADER = "model_dir, ckpt_step, loss, less_one, less_three, debug \n"
+
+
+def ensure_header_exists(path: str):
+    """(reference: predictlib.py:231-253)"""
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+            if lines and lines[0] == RESULTS_HEADER:
+                return
+    except OSError:
+        pass
+    with open(path, "a+") as f:
+        f.write(RESULTS_HEADER)
+
+
+def write_results(path: str, model_dir, ckpt_step, loss, less_one, less_three,
+                  debug):
+    """Append a benchmark row (reference: predictlib.py:256-266)."""
+    try:
+        ensure_header_exists(path)
+        with open(path, "a+") as f:
+            f.write(f"{model_dir}, {ckpt_step}, {loss}, {less_one}, "
+                    f"{less_three}, {debug} \n")
+    except OSError as e:
+        logger.error("Failed to write results: %s", e)
