@@ -39,6 +39,7 @@ from mvsnet_tpu.ops.geometry import (
     homographies_for_views,
     inv_depth_values,
 )
+from mvsnet_tpu.parallel.mesh import constrain
 
 
 def _resize_bilinear(x, height, width):
@@ -74,8 +75,8 @@ class MVSNet(nn.Module):
                           name="feature_net")(flat)
         h, w, C = feats.shape[1:]
         feats = feats.reshape(B, V, h, w, C)
-        ref = feats[:, 0]
-        views = jnp.moveaxis(feats[:, 1:], 1, 0)
+        ref = constrain(feats[:, 0], "data", "space")
+        views = constrain(jnp.moveaxis(feats[:, 1:], 1, 0), None, "data", "space")
         return ref, views
 
     @nn.compact
@@ -121,9 +122,14 @@ class MVSNet(nn.Module):
             cost_volume = build(ref_f, view_f, homs.astype(ref_f.dtype),
                                 depth_chunk=cfg.depth_chunk)
 
+        # depth-slab + spatial sharding of the cost volume: GSPMD inserts
+        # halo exchanges for the 3D U-Net and a collective softmax along D.
+        cost_volume = constrain(cost_volume, "data", "depth", "space")
+
         reg = RegNetUS0(cfg.network_mode, dtype=cfg.compute_dtype,
                         name="regnet")(cost_volume, training)
         reg = jnp.squeeze(reg, axis=-1).astype(jnp.float32)     # (B, D, h, w)
+        reg = constrain(reg, "data", "depth", "space")
 
         depth_map, prob_volume = soft_argmin(
             reg, depth_start, depth_interval, cfg.max_d,

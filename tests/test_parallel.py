@@ -1,0 +1,75 @@
+"""Sharded training on the virtual 8-device CPU mesh; dryrun entry points."""
+
+import jax
+import numpy as np
+import pytest
+
+from mvsnet_tpu.parallel import factorize_devices, make_mesh, set_active_mesh
+
+
+def teardown_function(_):
+    set_active_mesh(None)
+
+
+def test_factorize_devices():
+    assert factorize_devices(8) == (2, 2, 2)
+    assert factorize_devices(4) == (2, 2, 1)
+    assert factorize_devices(2) == (2, 1, 1)
+    assert factorize_devices(1) == (1, 1, 1)
+    assert factorize_devices(16) == (4, 2, 2)
+    d = factorize_devices(6)
+    assert d[0] * d[1] * d[2] == 6
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh(8)
+    assert mesh.axis_names == ("data", "depth", "space")
+    assert dict(mesh.shape) == {"data": 2, "depth": 2, "space": 2}
+
+
+def test_dryrun_multichip_8():
+    """The driver's multi-chip validation path must work on the CPU mesh."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    depth, prob = out
+    assert depth.shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_sharded_matches_single_device():
+    """One sharded train step == one single-device train step (same batch)."""
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.train_step import make_sharded_train_step, shard_state
+    import __graft_entry__ as ge
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      depth_chunk=8)
+    tcfg = TrainConfig(optimizer="adam", base_lr=1e-3, loss_type="original",
+                       grad_loss=False)
+    model = MVSNet(cfg)
+    batch = ge._tiny_batch(batch=2)
+    state = train_lib.create_train_state(model, cfg, tcfg, jax.random.PRNGKey(0), batch)
+
+    # single device
+    single_step = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+    _, m_single = single_step(state, batch)
+
+    # sharded over 8 CPU devices (data=2, depth=2, space=2)
+    step_fn, mesh = make_sharded_train_step(model, cfg, tcfg, n_devices=8,
+                                            donate=False)
+    sharded_state = shard_state(state, mesh)
+    _, m_sharded = step_fn(sharded_state, batch)
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_sharded["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_single["less_one"]),
+                               float(m_sharded["less_one"]), atol=2e-3)
