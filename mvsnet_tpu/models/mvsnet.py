@@ -117,10 +117,9 @@ class MVSNet(nn.Module):
         build = plane_sweep_cost_volume
         if training:
             build = jax.checkpoint(build, static_argnums=(3,))
-            cost_volume = build(ref_f, view_f, homs.astype(ref_f.dtype), cfg.depth_chunk)
+            cost_volume = build(ref_f, view_f, homs, cfg.depth_chunk)
         else:
-            cost_volume = build(ref_f, view_f, homs.astype(ref_f.dtype),
-                                depth_chunk=cfg.depth_chunk)
+            cost_volume = build(ref_f, view_f, homs, depth_chunk=cfg.depth_chunk)
 
         # depth-slab + spatial sharding of the cost volume: GSPMD inserts
         # halo exchanges for the 3D U-Net and a collective softmax along D.
@@ -159,7 +158,7 @@ class MVSNet(nn.Module):
 
         homs = homographies_for_views(
             cams, cfg.max_d, depth_start, depth_interval, depth_end,
-            inverse_depth=cfg.inverse_depth).astype(ref_f.dtype)
+            inverse_depth=cfg.inverse_depth)
         homs_by_depth = jnp.moveaxis(homs, 2, 0)     # (D, V-1, B, 3, 3)
 
         init = GRURegularizer.init_states(B, h, w, cfg.network_mode, jnp.float32)

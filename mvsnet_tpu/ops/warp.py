@@ -44,8 +44,13 @@ def projected_coords(homography, height: int, width: int, eps: float = 1e-7):
       homography: (..., 3, 3) image-coordinate homography.
     Returns:
       (x, y): each (..., H*W) source *pixel* coordinates (centers at integers).
+
+    Coordinate math is forced to f32: bf16 cannot represent sub-pixel
+    positions at image scale (~0.5 px error at x~300), which silently
+    destroys cost-volume quality.
     """
-    dtype = homography.dtype
+    dtype = jnp.promote_types(homography.dtype, jnp.float32)
+    homography = homography.astype(dtype)
     grid = _pixel_grid(height, width, dtype)          # (3, HW)
     uvw = homography @ grid                           # (..., 3, HW)
     w = uvw[..., 2, :]

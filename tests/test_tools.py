@@ -1,0 +1,122 @@
+"""Dataset tooling: converters, splits, DTU legacy lists, hp search sampling."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+sys.path.insert(0, TOOLS)
+
+import convert_utils  # noqa: E402
+
+from mvsnet_tpu.data.dtu import gen_pipeline_mvs_list, parse_pair_txt  # noqa: E402
+from mvsnet_tpu.io.cams import load_cam_txt, write_cam_txt  # noqa: E402
+from mvsnet_tpu.io.pfm import write_pfm  # noqa: E402
+
+
+PAIR_TXT = """2
+0
+2 1 120.5 2 80.2
+1
+1 0 95.0
+"""
+
+
+def test_parse_pair_txt(tmp_path):
+    p = tmp_path / "pair.txt"
+    p.write_text(PAIR_TXT)
+    pairs = parse_pair_txt(str(p))
+    assert pairs == [[1, 2], [0]]
+
+
+def test_pair_to_covisibility(tmp_path):
+    p = tmp_path / "pair.txt"
+    p.write_text(PAIR_TXT)
+    out = tmp_path / "covisibility.json"
+    covis = convert_utils.pair_to_covisibility(str(p), str(out), 400.0, 900.0)
+    with open(out) as f:
+        data = json.load(f)
+    assert data["0"]["views"] == [1, 2]
+    assert data["1"]["views"] == [0]
+    assert data["0"]["min_depth"] == 400.0
+    assert data["0"]["max_depth"] == 900.0
+
+
+def test_cam_to_json_roundtrip(tmp_path):
+    cam = np.zeros((2, 4, 4))
+    cam[0] = np.eye(4)
+    cam[0, :3, 3] = [1500.0, -250.0, 30.0]   # mm
+    cam[1, :3, :3] = [[800.0, 0, 320], [0, 810.0, 240], [0, 0, 1]]
+    cam[1, 3] = [400.0, 2.0, 128, 656.0]
+    txt = tmp_path / "cam.txt"
+    write_cam_txt(str(txt), cam)
+    jpath = tmp_path / "cam.json"
+    convert_utils.cam_to_json(str(txt), str(jpath), scale_factor=0.5)
+    with open(jpath) as f:
+        data = json.load(f)
+    assert data["intrinsics"]["fx"] == pytest.approx(400.0)
+    assert data["pose"]["matrix"]["0,3"] == pytest.approx(1.5)   # mm -> m
+    assert data["pose"]["matrix"]["1,3"] == pytest.approx(-0.25)
+
+
+def test_depth_pfm_to_png(tmp_path):
+    depth = np.random.default_rng(0).uniform(100, 5000, (8, 9)).astype(np.float32)
+    pfm = tmp_path / "d.pfm"
+    write_pfm(str(pfm), depth)
+    png = tmp_path / "d.png"
+    convert_utils.depth_pfm_to_png(str(pfm), str(png))
+    from mvsnet_tpu.io.images import load_depth_png
+    out = load_depth_png(str(png))
+    np.testing.assert_allclose(out, depth.astype(np.uint16))
+
+
+def test_gen_pipeline_mvs_list(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "cams").mkdir()
+    (tmp_path / "pair.txt").write_text(PAIR_TXT)
+    samples = gen_pipeline_mvs_list(str(tmp_path), view_num=2)
+    assert len(samples) == 2
+    assert samples[0][0].endswith("00000000.jpg")
+    assert samples[0][1].endswith("00000000_cam.txt")
+    assert samples[0][2].endswith("00000001.jpg")
+
+
+def test_split_data(tmp_path):
+    import split_data as sd
+    for i in range(10):
+        (tmp_path / f"sess_{i}").mkdir()
+    sd.split_data(str(tmp_path), 0.8, 0.1, 0.1, seed=0)
+    n_train = len(os.listdir(tmp_path / "train"))
+    n_val = len(os.listdir(tmp_path / "val"))
+    n_test = len(os.listdir(tmp_path / "test"))
+    assert n_train == 8
+    assert n_train + n_val + n_test == 10
+
+
+def test_hp_search_sampling():
+    import hp_search
+    import random
+    space = {"params": [
+        {"name": "base_lr", "type": "double", "min": 1e-4, "max": 1e-2, "scale": "log"},
+        {"name": "stepvalue", "type": "integer", "min": 50, "max": 200, "scale": "linear"},
+    ]}
+    rng = random.Random(0)
+    for _ in range(20):
+        s = hp_search.sample_params(space, rng)
+        assert 1e-4 <= s["base_lr"] <= 1e-2
+        assert 50 <= s["stepvalue"] <= 200
+        assert isinstance(s["stepvalue"], int)
+
+
+def test_covisibility_from_demon(tmp_path):
+    (tmp_path / "depths").mkdir()
+    for i in range(4):
+        (tmp_path / "depths" / f"{i}.png").write_bytes(b"")
+    convert_utils.covisibility_from_demon(str(tmp_path), 300, 5000)
+    with open(tmp_path / "covisibility.json") as f:
+        covis = json.load(f)
+    assert covis["0"]["views"] == [1, 2, 3]
+    assert covis["3"]["views"] == [0, 1, 2]
