@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -94,8 +95,12 @@ class Deconv(nn.Module):
 def group_norm_core(x, gamma, beta, num_groups: int, eps: float):
     """Normalize (N, ..., C) over [channels-within-group + all spatial dims].
 
-    Grouping follows the reference reshape [N, G, C//G, H, W] on a NCHW
+    Grouping matches the reference reshape [N, G, C//G, H, W] on a NCHW
     transpose (network.py:240-254): channel c belongs to group c // (C//G).
+
+    Implemented NHWC-native (split only the minor channel axis, reduce over
+    spatial + within-group): no transposes, so XLA fuses the whole norm into
+    neighboring convs instead of materializing relaid-out feature maps.
     """
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
@@ -103,14 +108,13 @@ def group_norm_core(x, gamma, beta, num_groups: int, eps: float):
     C = x.shape[-1]
     spatial = x.shape[1:-1]
     G = num_groups
-    # (N, spatial..., G, C//G) -> moments over spatial + C//G per (N, G)
-    xg = x.reshape(N, -1, G, C // G)
-    xg = jnp.moveaxis(xg, 2, 1)                   # (N, G, S, C//G)
-    mean = xg.mean(axis=(2, 3), keepdims=True)
-    var = xg.var(axis=(2, 3), keepdims=True)
-    xg = (xg - mean) / jnp.sqrt(var + eps)
-    x = jnp.moveaxis(xg, 1, 2).reshape(N, *spatial, C)
-    y = x * gamma + beta
+    xg = x.reshape(N, *spatial, G, C // G)
+    # moments over all spatial dims + the within-group channel dim, per (N, G)
+    red_axes = tuple(range(1, 1 + len(spatial))) + (x.ndim,)
+    mean = xg.mean(axis=red_axes, keepdims=True)
+    var = xg.var(axis=red_axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(N, *spatial, C) * gamma + beta
     return y.astype(orig_dtype)
 
 

@@ -60,6 +60,66 @@ def projected_coords(homography, height: int, width: int, eps: float = 1e-7):
     return x, y
 
 
+def bilinear_sample_pairs(image, x, y):
+    """Bilinear sample with zero-fill using two (1,2,C)-slice gathers.
+
+    Fetches each (y, x0..x0+1) horizontal pair in ONE lax.gather slice (the
+    taps are adjacent in memory), halving gather count vs the 4-tap form —
+    the dominant cost of the plane sweep on TPU.
+
+    Args:
+      image: (H, W, C); x, y: (N,) pixel coords.
+    Returns (N, C), out-of-image taps contributing 0.
+    """
+    H, W, C = image.shape
+    compute_dtype = image.dtype
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f).astype(compute_dtype)[:, None]
+    fy = (y - y0f).astype(compute_dtype)[:, None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # Slice start clamped so the 2-wide window stays in-bounds; the positions
+    # of taps x0 / x0+1 inside the window are tracked explicitly.
+    xs = jnp.clip(x0, 0, max(W - 2, 0))
+    pos0 = x0 - xs           # position of tap x0 in the window (valid iff 0/1)
+    pos1 = x0 + 1 - xs       # position of tap x0+1
+
+    def row_pair(yi):
+        """(N, 2, C) window [xs, xs+1] on row yi."""
+        yc = jnp.clip(yi, 0, H - 1)
+        starts = jnp.stack([yc, xs], axis=-1)                      # (N, 2)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+        return jax.lax.gather(
+            image, starts, dnums, slice_sizes=(1, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP)                   # (N, 2, C)
+
+    top = row_pair(y0)
+    bot = row_pair(y0 + 1)
+
+    zero = jnp.zeros((), compute_dtype)
+    x0_in = (x0 >= 0) & (x0 < W)
+    x1_in = (x0 + 1 >= 0) & (x0 + 1 < W)
+    y0_in = (y0 >= 0) & (y0 < H)
+    y1_in = (y0 + 1 >= 0) & (y0 + 1 < H)
+
+    def pick(window, pos, valid):
+        v = jnp.where((pos == 1)[:, None], window[:, 1], window[:, 0])
+        return jnp.where(valid[:, None], v, zero)
+
+    v00 = pick(top, pos0, x0_in & y0_in)
+    v01 = pick(top, pos1, x1_in & y0_in)
+    v10 = pick(bot, pos0, x0_in & y1_in)
+    v11 = pick(bot, pos1, x1_in & y1_in)
+
+    one = jnp.asarray(1, compute_dtype)
+    return ((one - fy) * ((one - fx) * v00 + fx * v01)
+            + fy * ((one - fx) * v10 + fx * v11))
+
+
 def bilinear_sample(image, x, y, fill_mode: str = "zeros"):
     """Bilinear sample `image` (H, W, C) at pixel coords x, y (each (N,)).
 
@@ -69,6 +129,8 @@ def bilinear_sample(image, x, y, fill_mode: str = "zeros"):
                homography_warping.py:146-149).
     Returns (N, C).
     """
+    if fill_mode == "zeros":
+        return bilinear_sample_pairs(image, x, y)
     H, W, C = image.shape
     compute_dtype = image.dtype
     x0 = jnp.floor(x)
