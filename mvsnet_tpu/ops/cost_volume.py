@@ -79,7 +79,7 @@ def _warp_all_depths(img, homs, fill_mode):
 
 def plane_sweep_cost_volume(ref_feature, view_features, homographies,
                             depth_chunk: int = 0, fill_mode: str = "zeros",
-                            out_dtype=None):
+                            out_dtype=None, use_pallas: bool = True):
     """Build the full (B, D, H, W, C) variance cost volume.
 
     Args:
@@ -90,11 +90,22 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
         both faster and lighter than scanned chunking; kept so call sites can
         stay stable).
       out_dtype: cost dtype (default: ref_feature.dtype).
+      use_pallas: use the gather-free MXU sweep kernel on TPU when the
+        shapes fit its VMEM-residency model (ops/pallas/sweep.py).
     """
     V_minus_1, B, D = homographies.shape[:3]
     H, W, C = ref_feature.shape[1:]
     view_num = V_minus_1 + 1
     out_dtype = out_dtype or ref_feature.dtype
+
+    warp_fn = lambda img, homs: _warp_all_depths(img, homs, fill_mode)
+    if use_pallas and fill_mode == "zeros" and jax.default_backend() == "tpu":
+        from mvsnet_tpu.ops.pallas.sweep import (  # noqa: PLC0415
+            pallas_sweep_supported,
+            pallas_warp_all_depths,
+        )
+        if pallas_sweep_supported(H, W, C, ref_feature.dtype):
+            warp_fn = pallas_warp_all_depths
 
     def per_batch(ref_b, views_b, homs_b):
         # ref_b: (H,W,C); views_b: (V-1,H,W,C); homs_b: (V-1,D,3,3)
@@ -103,10 +114,9 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
         s = jnp.broadcast_to(ref32[None], (D, H, W, C))
         s2 = jnp.broadcast_to(jnp.square(ref32)[None], (D, H, W, C))
         # python loop over the few source views; XLA fuses the elementwise
-        # accumulation into the gather consumers.
+        # accumulation into the warp consumers.
         for v in range(V_minus_1):
-            warped = _warp_all_depths(views_b[v], homs_b[v], fill_mode)
-            warped = warped.astype(acc_dtype)
+            warped = warp_fn(views_b[v], homs_b[v]).astype(acc_dtype)
             s = s + warped
             s2 = s2 + jnp.square(warped)
         mean = s / view_num

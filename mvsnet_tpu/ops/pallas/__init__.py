@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot ops.
+
+sweep.py — plane-sweep homography warp as one-hot banded MXU matmuls
+          (gather-free; the TPU-native replacement for the XLA gather warp).
+"""
+
+from mvsnet_tpu.ops.pallas.sweep import (  # noqa: F401
+    pallas_warp_all_depths,
+    pallas_sweep_supported,
+)

@@ -1,0 +1,69 @@
+"""Pallas sweep kernel vs the XLA gather warp (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mvsnet_tpu.ops.pallas.sweep import pallas_warp_all_depths, pallas_sweep_supported
+from mvsnet_tpu.ops.cost_volume import _warp_all_depths
+
+
+def make_homs(D, scale=1.0, rot=0.02, shift_range=12.0):
+    homs = np.tile(np.eye(3, dtype=np.float32), (D, 1, 1))
+    for d in range(D):
+        c, s = np.cos(rot), np.sin(rot)
+        homs[d] = [[scale * c, -s, shift_range * (d / max(D - 1, 1) - 0.5)],
+                   [s, scale * c, 0.3 * d / max(D - 1, 1)],
+                   [1e-5, -5e-6, 1.0]]
+    return jnp.asarray(homs)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_kernel_matches_xla_warp(dtype):
+    rng = np.random.default_rng(0)
+    H, W, C, D = 16, 24, 8, 6
+    img = jnp.asarray(rng.standard_normal((H, W, C)), dtype)
+    homs = make_homs(D)
+    got = pallas_warp_all_depths(img, homs, interpret=True)
+    expected = _warp_all_depths(img, homs, "zeros")
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected, np.float32),
+                               atol=tol, rtol=tol)
+
+
+def test_kernel_identity():
+    rng = np.random.default_rng(1)
+    H, W, C = 16, 16, 4
+    img = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    homs = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
+    out = pallas_warp_all_depths(img, homs, interpret=True)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(out[d]), np.asarray(img), atol=1e-5)
+
+
+def test_kernel_zero_fill_border():
+    img = jnp.ones((8, 16, 4), jnp.float32)
+    # shift sampling far right: right part of output reads outside -> 0
+    homs = jnp.asarray(np.array([[[1, 0, 10], [0, 1, 0], [0, 0, 1]]], np.float32))
+    out = np.asarray(pallas_warp_all_depths(img, homs, interpret=True))[0]
+    np.testing.assert_allclose(out[:, :6, :], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[:, 6:, :], 0.0, atol=1e-6)
+
+
+def test_kernel_large_vertical_shear():
+    """Rotation strong enough that r0 spans many rows per output row."""
+    rng = np.random.default_rng(2)
+    H, W, C, D = 24, 32, 4, 2
+    img = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    homs = make_homs(D, rot=0.3)
+    got = pallas_warp_all_depths(img, homs, interpret=True)
+    expected = _warp_all_depths(img, homs, "zeros")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_supported_predicate():
+    assert pallas_sweep_supported(216, 288, 32)
+    assert not pallas_sweep_supported(217, 288, 32)      # rows not divisible
