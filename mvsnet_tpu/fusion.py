@@ -142,7 +142,9 @@ def _pair_consistency(ref_points, ref_depth, ref_valid, ref_K, ref_R, ref_t,
 def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
                  disp_threshold: float = 0.25, num_consistent: int = 3,
                  depth_rel_threshold: float = 0.01,
-                 output_path: Optional[str] = None) -> str:
+                 output_path: Optional[str] = None,
+                 voxel_size: float = 0.0,
+                 min_neighbors: int = 0) -> str:
     """Probability-filter + consistency-fuse one session; returns PLY path."""
     depth_folder = os.path.join(dense_folder, "depths_mvsnet")
     names = probability_filter(dense_folder, prob_threshold)
@@ -203,6 +205,19 @@ def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
     else:
         points = np.zeros((0, 3), np.float32)
         colors = np.zeros((0, 3), np.uint8)
+
+    # native consolidation (the stage fusibile ran on GPU): density-based
+    # outlier rejection, then voxel-grid dedup/merge.
+    if len(points) and min_neighbors > 0 and voxel_size > 0:
+        from mvsnet_tpu import native  # noqa: PLC0415
+        keep = native.radius_outlier_removal(points, voxel_size * 3.0, min_neighbors)
+        logger.info("outlier removal kept %d/%d points", int(keep.sum()), len(points))
+        points, colors = points[keep], colors[keep]
+    if len(points) and voxel_size > 0:
+        from mvsnet_tpu import native  # noqa: PLC0415
+        points, colors = native.voxel_downsample(points, colors, voxel_size)
+        logger.info("voxel downsample -> %d points (voxel %.3f)", len(points), voxel_size)
+
     write_ply(output_path, points, colors=colors)
     logger.info("Wrote %d points to %s", len(points), output_path)
     return output_path
@@ -252,6 +267,10 @@ def main(argv=None) -> int:
     p.add_argument("--disp_threshold", type=float, default=0.25)
     p.add_argument("--num_consistent", type=int, default=3)
     p.add_argument("--depth_rel_threshold", type=float, default=0.01)
+    p.add_argument("--voxel_size", type=float, default=0.0,
+                   help="voxel edge (scene units) for native point consolidation; 0 = off")
+    p.add_argument("--min_neighbors", type=int, default=0,
+                   help="density outlier filter: min points within 3*voxel_size; 0 = off")
     p.add_argument("--mode", default="native", choices=["native", "gipuma-export"],
                    help="native: in-framework fusion to PLY; gipuma-export: "
                         "write fusibile-compatible inputs only")
@@ -259,7 +278,8 @@ def main(argv=None) -> int:
 
     if args.mode == "native":
         fuse_session(args.dense_folder, args.prob_threshold, args.disp_threshold,
-                     args.num_consistent, args.depth_rel_threshold)
+                     args.num_consistent, args.depth_rel_threshold,
+                     voxel_size=args.voxel_size, min_neighbors=args.min_neighbors)
     else:
         point_folder = os.path.join(args.dense_folder, "points_mvsnet")
         mkdir_p(point_folder)
