@@ -20,6 +20,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 BASELINE_MAPS_PER_SEC = 1.0 / 4.7
 
@@ -56,18 +57,22 @@ def main() -> int:
 
     @jax.jit
     def forward(variables, images, cams, ds, di):
-        return model.apply(variables, images, cams, ds, di, training=False,
-                           method=MVSNet.forward_3dcnn)
+        depth, prob = model.apply(variables, images, cams, ds, di,
+                                  training=False, method=MVSNet.forward_3dcnn)
+        # scalar checksum forces the whole computation before the host fetch
+        # below — on remote-execution backends block_until_ready alone can
+        # return before the work is actually done.
+        return depth, prob, jnp.sum(depth) + jnp.sum(prob)
 
-    # warmup / compile
+    # warmup / compile (fetch the checksum to synchronize for real)
     out = forward(variables, images, cams, ds, di)
-    jax.block_until_ready(out)
+    float(out[2])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = forward(variables, images, cams, ds, di)
-    jax.block_until_ready(out)
+        float(out[2])
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_sec = 1.0 / dt

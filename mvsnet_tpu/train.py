@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all local)")
     p.add_argument("--loader_workers", type=int, default=2)
+    # multi-host (pod slice) — omit for single-host runs
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -150,7 +154,21 @@ def make_loader(dcfg: DataConfig, tcfg: TrainConfig, mode: str, workers: int = 2
     return factory
 
 
+def maybe_init_distributed(args) -> None:
+    """Multi-host (DCN) initialization. The reference scaled only within one
+    box (machines/*.yaml single-master); pod-slice training needs each host
+    process to join the jax.distributed cluster. No-op single-host."""
+    if args.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        logger.info("joined distributed run: process %d/%d",
+                    jax.process_index(), jax.process_count())
+
+
 def train(args) -> int:
+    maybe_init_distributed(args)
     mcfg, tcfg, dcfg = configs_from_args(args)
     model = MVSNet(mcfg)
     metrics_sink = MetricsSink(os.path.join(args.model_dir, "metrics.jsonl"))
