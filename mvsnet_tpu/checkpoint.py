@@ -41,6 +41,23 @@ def latest_step(base_dir: str, regularization: str, network_mode: str) -> Option
     return step
 
 
+def restore_tree(base_dir: str, regularization: str, network_mode: str,
+                 step: Optional[int] = None) -> Any:
+    """Template-free restore: returns the raw checkpoint pytree (nested
+    dicts of arrays). Used by inference, which only needs params/batch_stats
+    and must not depend on the optimizer structure the trainer used."""
+    path = ckpt_dir(base_dir, regularization, network_mode)
+    mgr = _manager(path)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    restored = mgr.restore(step)
+    mgr.close()
+    return restored
+
+
 def restore_checkpoint(base_dir: str, regularization: str, network_mode: str,
                        state_template: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of `state_template` (a pytree with the

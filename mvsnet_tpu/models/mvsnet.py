@@ -54,10 +54,9 @@ class _GRUStep(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, carry, homs_d, ref_f, view_f):
-        cost = cost_slice(ref_f, view_f, homs_d).astype(ref_f.dtype)
+    def __call__(self, carry, cost_d):
         reg, states = GRURegularizer(self.cfg.network_mode, dtype=self.cfg.compute_dtype,
-                                     name="gru")(-cost, carry)
+                                     name="gru")(-cost_d, carry)
         return states, reg.astype(jnp.float32)
 
 
@@ -159,17 +158,25 @@ class MVSNet(nn.Module):
         homs = homographies_for_views(
             cams, cfg.max_d, depth_start, depth_interval, depth_end,
             inverse_depth=cfg.inverse_depth)
-        homs_by_depth = jnp.moveaxis(homs, 2, 0)     # (D, V-1, B, 3, 3)
+
+        # Cost slices for ALL planes via the batched warp (one big gather /
+        # Pallas sweep instead of D sequential small warps — the reference's
+        # O(1)-memory per-plane loop, model.py:565-599, trades severe warp
+        # inefficiency for memory the TPU doesn't need to save at 1/4 res).
+        cost_volume = plane_sweep_cost_volume(ref_f, view_f, homs)
+        # (D is the sequential scan axis — only batch/space shard here)
+        cost_by_depth = jnp.moveaxis(cost_volume, 1, 0)      # (D, B, h, w, C)
+        cost_by_depth = constrain(cost_by_depth, None, "data", "space")
 
         init = GRURegularizer.init_states(B, h, w, cfg.network_mode, jnp.float32)
         scan = nn.scan(
             nn.remat(_GRUStep, static_argnums=()),
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(0, nn.broadcast, nn.broadcast),
+            in_axes=0,
             out_axes=0,
         )(self.cfg, name="gru_sweep")
-        _, regs = scan(init, homs_by_depth, ref_f, view_f)   # (D, B, h, w, 1)
+        _, regs = scan(init, cost_by_depth)                  # (D, B, h, w, 1)
         return jnp.moveaxis(jnp.squeeze(regs, -1), 0, 1)     # (B, D, h, w)
 
     def forward_prob_recurrent(self, images, cams, depth_start, depth_interval):

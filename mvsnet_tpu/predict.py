@@ -73,17 +73,10 @@ class Predictor:
             variables = self.model.init(rng, images, cams, depth_start,
                                         depth_interval, training=False)
         if self.model_dir is not None:
-            from mvsnet_tpu.train_lib import TrainState, make_optimizer, TrainConfig  # noqa: PLC0415
-            import optax  # noqa: PLC0415
-            template = TrainState.create(
-                apply_fn=self.model.apply, params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}),
-                tx=optax.identity())
-            restored = ckpt.restore_checkpoint(
-                self.model_dir, self.mcfg.regularization, self.mcfg.network_mode,
-                template, self.ckpt_step)
-            variables = {"params": restored.params,
-                         "batch_stats": restored.batch_stats}
+            tree = ckpt.restore_tree(self.model_dir, self.mcfg.regularization,
+                                     self.mcfg.network_mode, self.ckpt_step)
+            variables = {"params": tree["params"],
+                         "batch_stats": tree.get("batch_stats") or {}}
             logger.info("Restored model from %s step %s", self.model_dir,
                         self.ckpt_step)
         self.variables = variables
