@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator_address", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     return p
 
 
@@ -227,6 +229,11 @@ def train(args) -> int:
     for step, batch in enumerate(train_loader):
         if tcfg.max_steps_per_epoch is not None and step >= tcfg.max_steps_per_epoch * tcfg.epoch:
             break
+        if args.profile_dir and step == 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and step == 15:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", args.profile_dir)
         state, metrics = step_fn(state, batch)
         loss = float(metrics["loss"])
         duration = time.time() - t_step
