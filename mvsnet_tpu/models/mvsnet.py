@@ -21,7 +21,7 @@ so this is numerically identical to the reference's weight-shared towers).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from mvsnet_tpu.models.feature_net import UNetDS2GN
 from mvsnet_tpu.models.gru import GRURegularizer
 from mvsnet_tpu.models.refine import RefineNetConv, RefineUNetConv
 from mvsnet_tpu.models.regnet import RegNetUS0
-from mvsnet_tpu.ops.cost_volume import cost_slice, plane_sweep_cost_volume
+from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
 from mvsnet_tpu.ops.depth import probability_map, soft_argmin, winner_take_all_update
 from mvsnet_tpu.ops.geometry import (
     depth_values,

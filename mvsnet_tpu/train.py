@@ -174,6 +174,11 @@ def train(args) -> int:
     mcfg, tcfg, dcfg = configs_from_args(args)
     model = MVSNet(mcfg)
     metrics_sink = MetricsSink(os.path.join(args.model_dir, "metrics.jsonl"))
+    # persist the run configuration for reproducibility / inference parity
+    from mvsnet_tpu.config import save_config
+    os.makedirs(args.model_dir, exist_ok=True)
+    save_config(os.path.join(args.model_dir, "config.json"),
+                model=mcfg, train=tcfg, data=dcfg)
 
     train_factory = make_loader(dcfg, tcfg, "train", args.loader_workers)
     train_gen = train_factory()

@@ -9,13 +9,13 @@ CPU-side average.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
+
 from flax.training import train_state
 
 from mvsnet_tpu.config import ModelConfig, TrainConfig
