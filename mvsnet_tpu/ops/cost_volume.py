@@ -101,9 +101,17 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
     warp_fn = lambda img, homs: _warp_all_depths(img, homs, fill_mode)
     if use_pallas and fill_mode == "zeros" and jax.default_backend() == "tpu":
         from mvsnet_tpu.ops.pallas.sweep import (  # noqa: PLC0415
+            pallas_cost_supported,
+            pallas_sweep_cost_volume,
             pallas_sweep_supported,
             pallas_warp_all_depths,
         )
+        if pallas_cost_supported(H, W, C, V_minus_1, ref_feature.dtype):
+            # fully fused warp+variance: no per-view warped volumes in HBM
+            views_bmajor = jnp.moveaxis(view_features, 0, 1)
+            homs_bmajor = jnp.moveaxis(homographies, 0, 1)
+            fused = jax.vmap(lambda r, v, h_: pallas_sweep_cost_volume(r, v, h_))
+            return fused(ref_feature, views_bmajor, homs_bmajor).astype(out_dtype)
         if pallas_sweep_supported(H, W, C, ref_feature.dtype):
             warp_fn = pallas_warp_all_depths
 

@@ -5,6 +5,8 @@ sweep.py — plane-sweep homography warp as one-hot banded MXU matmuls
 """
 
 from mvsnet_tpu.ops.pallas.sweep import (  # noqa: F401
-    pallas_warp_all_depths,
+    pallas_cost_supported,
+    pallas_sweep_cost_volume,
     pallas_sweep_supported,
+    pallas_warp_all_depths,
 )

@@ -96,6 +96,124 @@ def pallas_sweep_supported(height: int, width: int, channels: int,
             and src_bytes + onehot_bytes + out_bytes < budget)
 
 
+def _make_cost_kernel(view_count_minus_1: int):
+    """Fused kernel: per (depth, row-block), warp every source view row and
+    accumulate the across-view variance with the reference included —
+    cost = E[f^2] - E[f]^2 (reference: model.py:314-334) — entirely in
+    VMEM/registers. No per-view warped volumes ever touch HBM.
+    """
+
+    def kernel(xt_ref, yt_ref, ref_ref, views_ref, out_ref):
+        # xt/yt: (Vm1, 1, W, ROWS); ref: (H, W, C); views: (Vm1, H, W, C)
+        # out: (1, ROWS, W, C)
+        H, W, C = ref_ref.shape
+        view_num = view_count_minus_1 + 1
+        rb = pl.program_id(1)
+        src_dtype = ref_ref.dtype
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+
+        for y in range(ROWS_PER_CELL):
+            ref_row = ref_ref[pl.ds(rb * ROWS_PER_CELL + y, 1), :, :]
+            ref_row = ref_row.reshape(W, C).astype(jnp.float32)
+            s = ref_row
+            s2 = ref_row * ref_row
+
+            for v in range(view_count_minus_1):
+                xcol = xt_ref[v, 0, :, y:y + 1]
+                ycol = yt_ref[v, 0, :, y:y + 1]
+                x0f = jnp.floor(xcol)
+                fx = xcol - x0f
+                r0f = jnp.floor(ycol)
+                fy = ycol - r0f
+                x0 = x0f.astype(jnp.int32)
+                r0 = r0f.astype(jnp.int32)
+
+                in_x0 = (x0 >= 0) & (x0 < W)
+                in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+                wx = (jnp.where((iota_j == x0) & in_x0, 1.0 - fx, 0.0)
+                      + jnp.where((iota_j == (x0 + 1)) & in_x1, fx, 0.0))
+
+                rmin = jnp.maximum(jnp.min(r0), 0)
+                rmax = jnp.minimum(jnp.max(r0) + 1, H - 1)
+
+                def body(r, acc, v=v, r0=r0, fy=fy, wx=wx):
+                    roww = (jnp.where(r0 == r, 1.0 - fy, 0.0)
+                            + jnp.where(r0 == (r - 1), fy, 0.0))
+                    m = (roww * wx).astype(src_dtype)
+                    srow = views_ref[v, pl.ds(r, 1), :, :].reshape(W, C)
+                    return acc + jax.lax.dot_general(
+                        m, srow, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+                warped = jax.lax.fori_loop(
+                    rmin, rmax + 1, body, jnp.zeros((W, C), jnp.float32))
+                s = s + warped
+                s2 = s2 + warped * warped
+
+            mean = s / view_num
+            cost = s2 / view_num - mean * mean
+            out_ref[0, y, :, :] = cost.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
+                             interpret: bool = False):
+    """Fused variance cost volume for one batch element.
+
+    Args:
+      ref_feature: (H, W, C); view_features: (V-1, H, W, C);
+      homographies: (V-1, D, 3, 3).
+    Returns (D, H, W, C) cost in ref_feature.dtype.
+    """
+    H, W, C = ref_feature.shape
+    Vm1, D = homographies.shape[:2]
+    assert H % ROWS_PER_CELL == 0
+
+    def coords(homs):
+        x, y = projected_coords(homs, H, W)
+        return (jnp.swapaxes(x.reshape(D, H, W), 1, 2),
+                jnp.swapaxes(y.reshape(D, H, W), 1, 2))
+
+    xt, yt = jax.vmap(coords)(homographies)             # (Vm1, D, W, H)
+
+    grid = (D, H // ROWS_PER_CELL)
+    return pl.pallas_call(
+        _make_cost_kernel(Vm1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Vm1, 1, W, ROWS_PER_CELL),
+                         lambda d, rb: (0, d, 0, rb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, W, ROWS_PER_CELL),
+                         lambda d, rb: (0, d, 0, rb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, H, W, C), lambda d, rb: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, W, C),
+                               lambda d, rb: (d, rb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, W, C), ref_feature.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * H * 4 * W * W * C * Vm1,
+            bytes_accessed=(D * H * W * C * ref_feature.dtype.itemsize
+                            + (Vm1 + 1) * H * W * C * ref_feature.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(xt, yt, ref_feature, view_features)
+
+
+def pallas_cost_supported(height: int, width: int, channels: int,
+                          view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
+    src_bytes = (view_count_minus_1 + 1) * height * width * channels * jnp.dtype(dtype).itemsize
+    work_bytes = width * width * 4 * 2 + 3 * ROWS_PER_CELL * width * channels * 4
+    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 12 * 2 ** 20
+    return height % ROWS_PER_CELL == 0 and src_bytes + work_bytes < budget
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_warp_all_depths(img, homographies, interpret: bool = False):
     """Warp (H, W, C) by (D, 3, 3) homographies -> (D, H, W, C).

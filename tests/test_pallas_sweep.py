@@ -67,3 +67,28 @@ def test_kernel_large_vertical_shear():
 def test_supported_predicate():
     assert pallas_sweep_supported(216, 288, 32)
     assert not pallas_sweep_supported(217, 288, 32)      # rows not divisible
+
+
+def test_fused_cost_volume_matches_xla():
+    from mvsnet_tpu.ops.pallas.sweep import pallas_sweep_cost_volume
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    rng = np.random.default_rng(3)
+    H, W, C, D, Vm1 = 16, 24, 8, 5, 2
+    ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
+    homs = jnp.stack([make_homs(D), make_homs(D, rot=-0.03, shift_range=8.0)])
+    got = pallas_sweep_cost_volume(ref, views, homs, interpret=True)
+    expected = plane_sweep_cost_volume(ref[None], views[:, None], homs[:, None])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_cost_volume_identity_views_zero():
+    from mvsnet_tpu.ops.pallas.sweep import pallas_sweep_cost_volume
+    rng = np.random.default_rng(4)
+    H, W, C, D = 8, 16, 4, 3
+    ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    views = jnp.stack([ref, ref])
+    homs = jnp.broadcast_to(jnp.eye(3), (2, D, 3, 3))
+    out = np.asarray(pallas_sweep_cost_volume(ref, views, homs, interpret=True))
+    np.testing.assert_allclose(out, 0.0, atol=1e-5)
