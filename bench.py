@@ -55,25 +55,35 @@ def main() -> int:
     variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
                            training=False, method=MVSNet.forward_3dcnn)
 
-    @jax.jit
-    def forward(variables, images, cams, ds, di):
-        depth, prob = model.apply(variables, images, cams, ds, di,
-                                  training=False, method=MVSNet.forward_3dcnn)
-        # scalar checksum forces the whole computation before the host fetch
-        # below — on remote-execution backends block_until_ready alone can
-        # return before the work is actually done.
-        return depth, prob, jnp.sum(depth) + jnp.sum(prob)
+    # Timing on this backend must account for (a) async dispatch —
+    # block_until_ready can return before remote work finishes, so a scalar
+    # checksum is fetched — and (b) large, VARIABLE per-fetch tunnel latency.
+    # Both cancel by running N forwards inside one fori_loop (serialized via
+    # a tiny data dependence) and differencing two loop lengths.
+    import functools
 
-    # warmup / compile (fetch the checksum to synchronize for real)
-    out = forward(variables, images, cams, ds, di)
-    float(out[2])
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def forward_n(variables, images, cams, ds, di, n):
+        def body(_, carry):
+            # carry*1e-30 keeps a loop-carried dependence without changing
+            # values; prevents XLA from hoisting the loop-invariant forward.
+            depth, prob = model.apply(variables, images + carry * 1e-30,
+                                      cams, ds, di, training=False,
+                                      method=MVSNet.forward_3dcnn)
+            return jnp.sum(depth) + jnp.sum(prob)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     iters = 5
+    # warmup / compile both loop lengths
+    float(forward_n(variables, images, cams, ds, di, 1))
+    float(forward_n(variables, images, cams, ds, di, 1 + iters))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, images, cams, ds, di)
-        float(out[2])
-    dt = (time.perf_counter() - t0) / iters
+    float(forward_n(variables, images, cams, ds, di, 1))
+    t1 = time.perf_counter()
+    float(forward_n(variables, images, cams, ds, di, 1 + iters))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / iters
 
     maps_per_sec = 1.0 / dt
     print(json.dumps({

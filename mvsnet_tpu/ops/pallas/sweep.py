@@ -7,8 +7,8 @@ cycle on its gathers — the dominant cost of MVSNet inference.
 Kernel idea: bilinear warping of one output row is a *banded linear map* of
 a handful of source rows:
 
-  out[y] = sum_r  M_{y,r} @ src[r]
-  M_{y,r}[x, j] = rowweight_r(x) * ( [j == x0(x)] (1-fx(x)) + [j == x0(x)+1] fx(x) )
+  out[y] = sum_r  M_{y,r}^T @ src[r]
+  M_{y,r}[j, x] = rowweight_r(x) * ( [j == x0(x)] (1-fx(x)) + [j == x0(x)+1] fx(x) )
   rowweight_r(x) = [r == r0(x)] (1-fy(x)) + [r == r0(x)+1] fy(x)
 
 The one-hot matrices are built in-register from broadcasted iota compares
@@ -18,6 +18,10 @@ fits in VMEM, so source rows are register-speed. The band [min r0, max r0+1]
 per output row is walked with a dynamic fori_loop, so cost scales with the
 actual vertical shear of the homography (~2-6 rows for plane sweeps)
 instead of the worst case.
+
+The one-hot index j lives on SUBLANES and the output pixel x on LANES
+(M stored transposed, contraction over dim 0 of both operands) so all
+block shapes satisfy Mosaic's (8,128)-divisible-or-full constraint.
 
 Zero-fill out-of-image semantics match tf.contrib.image.transform
 (reference: homography_warping.py:211-253) exactly: out-of-range taps get
@@ -41,59 +45,65 @@ from mvsnet_tpu.ops.warp import projected_coords
 ROWS_PER_CELL = 8
 
 
-def _sweep_kernel(xt_ref, yt_ref, src_ref, out_ref):
-    """One (depth, row-block) cell.
+def _row_warp(src_view_fn, xrow, yrow, iota_i, H, W, C, src_dtype):
+    """Warp one output row: returns (W, C) f32.
 
-    xt_ref/yt_ref: (1, W, ROWS) f32 — transposed source coords for this cell.
+    src_view_fn(r) must return source row r as (W, C).
+    xrow/yrow: (1, W) f32 source coords for this output row.
+    iota_i: (W, W) int32 iota along dim 0 (the one-hot j axis, on sublanes).
+    """
+    x0f = jnp.floor(xrow)
+    fx = xrow - x0f
+    r0f = jnp.floor(yrow)
+    fy = yrow - r0f
+    x0 = x0f.astype(jnp.int32)
+    r0 = r0f.astype(jnp.int32)
+
+    in_x0 = (x0 >= 0) & (x0 < W)
+    in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+    # transposed one-hot: wx[j, x] — j on sublanes, output pixel x on lanes
+    wx = (jnp.where((iota_i == x0) & in_x0, 1.0 - fx, 0.0)
+          + jnp.where((iota_i == (x0 + 1)) & in_x1, fx, 0.0))    # (W, W)
+
+    rmin = jnp.maximum(jnp.min(r0), 0)
+    rmax = jnp.minimum(jnp.max(r0) + 1, H - 1)
+
+    # f32 sources get full-precision MXU passes (the default would silently
+    # run bf16 and cost ~0.3% error); bf16 sources use the fast path.
+    precision = (jax.lax.Precision.HIGHEST if src_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def body(r, acc):
+        roww = (jnp.where(r0 == r, 1.0 - fy, 0.0)
+                + jnp.where(r0 == (r - 1), fy, 0.0))             # (1, W)
+        m = (roww * wx).astype(src_dtype)                        # (W, W) [j, x]
+        srow = src_view_fn(r)                                    # (W, C) [j, c]
+        # contract j (dim 0 of both): out[x, c]
+        return acc + jax.lax.dot_general(
+            m, srow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    return jax.lax.fori_loop(rmin, rmax + 1, body,
+                             jnp.zeros((W, C), jnp.float32))
+
+
+def _sweep_kernel(x_ref, y_ref, src_ref, out_ref):
+    """One (depth, row-block) cell of the plain warp.
+
+    x_ref/y_ref: (1, ROWS, W) f32 source coords.
     src_ref: (H, W, C) source features (whole map, VMEM-resident).
     out_ref: (1, ROWS, W, C) warped output rows.
     """
     H, W, C = src_ref.shape
-    src_dtype = src_ref.dtype
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
 
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    def src_row(r):
+        return src_ref[pl.ds(r, 1), :, :].reshape(W, C)
 
     for y in range(ROWS_PER_CELL):
-        xcol = xt_ref[0, :, y:y + 1]                    # (W, 1) f32
-        ycol = yt_ref[0, :, y:y + 1]
-        x0f = jnp.floor(xcol)
-        fx = xcol - x0f
-        r0f = jnp.floor(ycol)
-        fy = ycol - r0f
-        x0 = x0f.astype(jnp.int32)
-        r0 = r0f.astype(jnp.int32)
-
-        in_x0 = (x0 >= 0) & (x0 < W)
-        in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
-        wx = (jnp.where((iota_j == x0) & in_x0, 1.0 - fx, 0.0)
-              + jnp.where((iota_j == (x0 + 1)) & in_x1, fx, 0.0))  # (W, W)
-
-        rmin = jnp.maximum(jnp.min(r0), 0)
-        rmax = jnp.minimum(jnp.max(r0) + 1, H - 1)
-
-        def body(r, acc):
-            roww = (jnp.where(r0 == r, 1.0 - fy, 0.0)
-                    + jnp.where(r0 == (r - 1), fy, 0.0))            # (W, 1)
-            m = (roww * wx).astype(src_dtype)                       # (W, W)
-            srow = src_ref[pl.ds(r, 1), :, :].reshape(W, C)
-            return acc + jax.lax.dot_general(
-                m, srow, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        acc = jax.lax.fori_loop(
-            rmin, rmax + 1, body, jnp.zeros((W, C), jnp.float32))
+        acc = _row_warp(src_row, x_ref[0, y:y + 1, :], y_ref[0, y:y + 1, :],
+                        iota_i, H, W, C, src_ref.dtype)
         out_ref[0, y, :, :] = acc.astype(out_ref.dtype)
-
-
-def pallas_sweep_supported(height: int, width: int, channels: int,
-                           dtype=jnp.bfloat16) -> bool:
-    """Whether the kernel's VMEM-residency assumptions hold."""
-    src_bytes = height * width * channels * jnp.dtype(dtype).itemsize
-    onehot_bytes = width * width * 4 * 2
-    out_bytes = ROWS_PER_CELL * width * channels * 4
-    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 12 * 2 ** 20
-    return (height % ROWS_PER_CELL == 0
-            and src_bytes + onehot_bytes + out_bytes < budget)
 
 
 def _make_cost_kernel(view_count_minus_1: int):
@@ -103,14 +113,13 @@ def _make_cost_kernel(view_count_minus_1: int):
     VMEM/registers. No per-view warped volumes ever touch HBM.
     """
 
-    def kernel(xt_ref, yt_ref, ref_ref, views_ref, out_ref):
-        # xt/yt: (Vm1, 1, W, ROWS); ref: (H, W, C); views: (Vm1, H, W, C)
+    def kernel(x_ref, y_ref, ref_ref, views_ref, out_ref):
+        # x/y: (Vm1, 1, ROWS, W); ref: (H, W, C); views: (Vm1, H, W, C)
         # out: (1, ROWS, W, C)
         H, W, C = ref_ref.shape
         view_num = view_count_minus_1 + 1
         rb = pl.program_id(1)
-        src_dtype = ref_ref.dtype
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
 
         for y in range(ROWS_PER_CELL):
             ref_row = ref_ref[pl.ds(rb * ROWS_PER_CELL + y, 1), :, :]
@@ -119,34 +128,12 @@ def _make_cost_kernel(view_count_minus_1: int):
             s2 = ref_row * ref_row
 
             for v in range(view_count_minus_1):
-                xcol = xt_ref[v, 0, :, y:y + 1]
-                ycol = yt_ref[v, 0, :, y:y + 1]
-                x0f = jnp.floor(xcol)
-                fx = xcol - x0f
-                r0f = jnp.floor(ycol)
-                fy = ycol - r0f
-                x0 = x0f.astype(jnp.int32)
-                r0 = r0f.astype(jnp.int32)
+                def src_row(r, v=v):
+                    return views_ref[v, pl.ds(r, 1), :, :].reshape(W, C)
 
-                in_x0 = (x0 >= 0) & (x0 < W)
-                in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
-                wx = (jnp.where((iota_j == x0) & in_x0, 1.0 - fx, 0.0)
-                      + jnp.where((iota_j == (x0 + 1)) & in_x1, fx, 0.0))
-
-                rmin = jnp.maximum(jnp.min(r0), 0)
-                rmax = jnp.minimum(jnp.max(r0) + 1, H - 1)
-
-                def body(r, acc, v=v, r0=r0, fy=fy, wx=wx):
-                    roww = (jnp.where(r0 == r, 1.0 - fy, 0.0)
-                            + jnp.where(r0 == (r - 1), fy, 0.0))
-                    m = (roww * wx).astype(src_dtype)
-                    srow = views_ref[v, pl.ds(r, 1), :, :].reshape(W, C)
-                    return acc + jax.lax.dot_general(
-                        m, srow, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-
-                warped = jax.lax.fori_loop(
-                    rmin, rmax + 1, body, jnp.zeros((W, C), jnp.float32))
+                warped = _row_warp(src_row, x_ref[v, 0, y:y + 1, :],
+                                   y_ref[v, 0, y:y + 1, :], iota_i,
+                                   H, W, C, ref_ref.dtype)
                 s = s + warped
                 s2 = s2 + warped * warped
 
@@ -155,6 +142,77 @@ def _make_cost_kernel(view_count_minus_1: int):
             out_ref[0, y, :, :] = cost.astype(out_ref.dtype)
 
     return kernel
+
+
+def pallas_sweep_supported(height: int, width: int, channels: int,
+                           dtype=jnp.bfloat16) -> bool:
+    """Whether the kernel's VMEM-residency / tiling assumptions hold."""
+    src_bytes = height * width * channels * jnp.dtype(dtype).itemsize
+    onehot_bytes = width * width * 4 * 2
+    out_bytes = ROWS_PER_CELL * width * channels * 4
+    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 12 * 2 ** 20
+    return (height % ROWS_PER_CELL == 0
+            and width % 8 == 0
+            and src_bytes + onehot_bytes + out_bytes < budget)
+
+
+def pallas_cost_supported(height: int, width: int, channels: int,
+                          view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
+    src_bytes = (view_count_minus_1 + 1) * height * width * channels * jnp.dtype(dtype).itemsize
+    work_bytes = width * width * 4 * 2 + 3 * ROWS_PER_CELL * width * channels * 4
+    # 14 MiB: V=3 at the 1152x864 operating point (12.9 MiB) measured to fit
+    # alongside the double-buffered blocks; V>=4 falls back to the per-view
+    # warp kernel (one source map resident at a time).
+    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 14 * 2 ** 20
+    return (height % ROWS_PER_CELL == 0
+            and width % 8 == 0
+            and src_bytes + work_bytes < budget)
+
+
+def _coords_by_cell(homographies, H, W):
+    """(D,3,3) -> x, y as (D, H, W) f32."""
+    x, y = projected_coords(homographies, H, W)
+    D = homographies.shape[0]
+    return x.reshape(D, H, W), y.reshape(D, H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_warp_all_depths(img, homographies, interpret: bool = False):
+    """Warp (H, W, C) by (D, 3, 3) homographies -> (D, H, W, C).
+
+    Drop-in for ops.cost_volume._warp_all_depths (zero-fill bilinear).
+    """
+    H, W, C = img.shape
+    D = homographies.shape[0]
+    assert H % ROWS_PER_CELL == 0, (H, ROWS_PER_CELL)
+
+    x, y = _coords_by_cell(homographies, H, W)
+
+    grid = (D, H // ROWS_PER_CELL)
+    return pl.pallas_call(
+        _sweep_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ROWS_PER_CELL, W),
+                         lambda d, rb: (d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS_PER_CELL, W),
+                         lambda d, rb: (d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, W, C),
+                               lambda d, rb: (d, rb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, W, C), img.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * H * 4 * W * W * C,   # ~4-row bands
+            bytes_accessed=(D * H * W * C * img.dtype.itemsize
+                            + H * W * C * img.dtype.itemsize
+                            + 2 * D * H * W * 4),
+            transcendentals=0,
+        ),
+    )(x, y, img)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -171,22 +229,18 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     Vm1, D = homographies.shape[:2]
     assert H % ROWS_PER_CELL == 0
 
-    def coords(homs):
-        x, y = projected_coords(homs, H, W)
-        return (jnp.swapaxes(x.reshape(D, H, W), 1, 2),
-                jnp.swapaxes(y.reshape(D, H, W), 1, 2))
-
-    xt, yt = jax.vmap(coords)(homographies)             # (Vm1, D, W, H)
+    x, y = jax.vmap(lambda h_: _coords_by_cell(h_, H, W))(homographies)
+    # (Vm1, D, H, W)
 
     grid = (D, H // ROWS_PER_CELL)
     return pl.pallas_call(
         _make_cost_kernel(Vm1),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Vm1, 1, W, ROWS_PER_CELL),
-                         lambda d, rb: (0, d, 0, rb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Vm1, 1, W, ROWS_PER_CELL),
-                         lambda d, rb: (0, d, 0, rb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Vm1, H, W, C), lambda d, rb: (0, 0, 0, 0),
@@ -203,54 +257,4 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
                             + (Vm1 + 1) * H * W * C * ref_feature.dtype.itemsize),
             transcendentals=0,
         ),
-    )(xt, yt, ref_feature, view_features)
-
-
-def pallas_cost_supported(height: int, width: int, channels: int,
-                          view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
-    src_bytes = (view_count_minus_1 + 1) * height * width * channels * jnp.dtype(dtype).itemsize
-    work_bytes = width * width * 4 * 2 + 3 * ROWS_PER_CELL * width * channels * 4
-    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 12 * 2 ** 20
-    return height % ROWS_PER_CELL == 0 and src_bytes + work_bytes < budget
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_warp_all_depths(img, homographies, interpret: bool = False):
-    """Warp (H, W, C) by (D, 3, 3) homographies -> (D, H, W, C).
-
-    Drop-in for ops.cost_volume._warp_all_depths (zero-fill bilinear).
-    """
-    H, W, C = img.shape
-    D = homographies.shape[0]
-    assert H % ROWS_PER_CELL == 0, (H, ROWS_PER_CELL)
-
-    x, y = projected_coords(homographies, H, W)         # (D, H*W) f32
-    # transpose to (D, W, H): per-cell blocks slice the row-minor layout
-    xt = jnp.swapaxes(x.reshape(D, H, W), 1, 2)
-    yt = jnp.swapaxes(y.reshape(D, H, W), 1, 2)
-
-    grid = (D, H // ROWS_PER_CELL)
-    return pl.pallas_call(
-        _sweep_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, W, ROWS_PER_CELL),
-                         lambda d, rb: (d, 0, rb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, ROWS_PER_CELL),
-                         lambda d, rb: (d, 0, rb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, W, C),
-                               lambda d, rb: (d, rb, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W, C), img.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * D * H * 4 * W * W * C,   # ~4-row bands
-            bytes_accessed=(D * H * W * C * img.dtype.itemsize
-                            + H * W * C * img.dtype.itemsize
-                            + 2 * D * H * W * 4),
-            transcendentals=0,
-        ),
-    )(xt, yt, img)
+    )(x, y, ref_feature, view_features)
