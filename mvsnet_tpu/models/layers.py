@@ -197,6 +197,55 @@ class BatchNormRef(nn.Module):
         )(x)
 
 
+class Fc(nn.Module):
+    """Dense layer with optional flatten (reference: network.py:462-476)."""
+
+    num_out: int
+    relu: bool = True
+    use_bias: bool = True
+    flatten: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.flatten:
+            x = x.reshape(x.shape[0], -1)
+        y = nn.Dense(self.num_out, use_bias=self.use_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        return nn.relu(y) if self.relu else y
+
+
+def max_pool(x, pool_size: int = 2, strides: int = 2, padding: str = "SAME"):
+    """(reference: network.py:417-423)"""
+    k = (1, pool_size, pool_size, 1)
+    s = (1, strides, strides, 1)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, k, s, padding)
+
+
+def avg_pool(x, pool_size: int = 2, strides: int = 2, padding: str = "SAME"):
+    """(reference: network.py:426-432)"""
+    k = (1, pool_size, pool_size, 1)
+    s = (1, strides, strides, 1)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, k, s, padding)
+    counts = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add, k, s, padding)
+    return summed / counts
+
+
+def l2_pool(x, pool_size: int = 2, strides: int = 2, padding: str = "SAME"):
+    """sqrt(avg_pool(x^2)) + eps (reference: network.py:435-442)"""
+    return jnp.sqrt(avg_pool(jnp.square(x), pool_size, strides, padding) + 1e-6)
+
+
+class Dropout(nn.Module):
+    """(reference: network.py:511-517)"""
+
+    rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return nn.Dropout(self.rate, deterministic=not training)(x)
+
+
 class ConvGN(nn.Module):
     """conv (no bias) -> group norm -> ReLU (reference: network.py:217-276)."""
 

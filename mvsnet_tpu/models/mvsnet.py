@@ -113,17 +113,17 @@ class MVSNet(nn.Module):
             cams, cfg.max_d, depth_start, depth_interval, depth_end,
             inverse_depth=cfg.inverse_depth)
 
-        # The Pallas sweep kernels have no custom VJP yet — gradient paths
-        # use the XLA warp (which differentiates fine); inference gets the
-        # fused kernel.
-        use_pallas = cfg.use_pallas and not training
+        # Training differentiates the sweep: the custom-VJP Pallas warp
+        # (transposed-warp backward kernel) handles it; inference gets the
+        # fully fused cost kernel.
         if training:
             build = jax.checkpoint(
-                lambda r, v, h_: plane_sweep_cost_volume(r, v, h_, use_pallas=False))
+                lambda r, v, h_: plane_sweep_cost_volume(
+                    r, v, h_, use_pallas=cfg.use_pallas, differentiable=True))
             cost_volume = build(ref_f, view_f, homs)
         else:
             cost_volume = plane_sweep_cost_volume(ref_f, view_f, homs,
-                                                  use_pallas=use_pallas)
+                                                  use_pallas=cfg.use_pallas)
 
         # depth-slab + spatial sharding of the cost volume: GSPMD inserts
         # halo exchanges for the 3D U-Net and a collective softmax along D.
@@ -144,7 +144,7 @@ class MVSNet(nn.Module):
 
     @nn.compact
     def gru_cost_sweep(self, images, cams, depth_start, depth_interval,
-                       depth_end=None, allow_pallas: bool = True):
+                       depth_end=None, differentiable: bool = False):
         """Scan the 3-cell ConvGRU over depth planes.
 
         Returns (B, D, h, w) regularized costs (pre-softmax / pre-exp).
@@ -169,7 +169,8 @@ class MVSNet(nn.Module):
         # O(1)-memory per-plane loop, model.py:565-599, trades severe warp
         # inefficiency for memory the TPU doesn't need to save at 1/4 res).
         cost_volume = plane_sweep_cost_volume(
-            ref_f, view_f, homs, use_pallas=self.cfg.use_pallas and allow_pallas)
+            ref_f, view_f, homs, use_pallas=self.cfg.use_pallas,
+            differentiable=differentiable)
         # (D is the sequential scan axis — only batch/space shard here)
         cost_by_depth = jnp.moveaxis(cost_volume, 1, 0)      # (D, B, h, w, C)
         cost_by_depth = constrain(cost_by_depth, None, "data", "space")
@@ -187,9 +188,9 @@ class MVSNet(nn.Module):
 
     def forward_prob_recurrent(self, images, cams, depth_start, depth_interval):
         """R-MVSNet training graph: softmax probability volume
-        (reference: model.py:505-599). Gradients flow -> XLA warp."""
+        (reference: model.py:505-599). Gradients flow -> custom-VJP warp."""
         regs = self.gru_cost_sweep(images, cams, depth_start, depth_interval,
-                                   allow_pallas=False)
+                                   differentiable=True)
         return jax.nn.softmax(regs, axis=1)
 
     def forward_gru_wta(self, images, cams, depth_start, depth_interval=None,

@@ -79,7 +79,8 @@ def _warp_all_depths(img, homs, fill_mode):
 
 def plane_sweep_cost_volume(ref_feature, view_features, homographies,
                             depth_chunk: int = 0, fill_mode: str = "zeros",
-                            out_dtype=None, use_pallas: bool = True):
+                            out_dtype=None, use_pallas: bool = True,
+                            differentiable: bool = False):
     """Build the full (B, D, H, W, C) variance cost volume.
 
     Args:
@@ -92,6 +93,9 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
       out_dtype: cost dtype (default: ref_feature.dtype).
       use_pallas: use the gather-free MXU sweep kernel on TPU when the
         shapes fit its VMEM-residency model (ops/pallas/sweep.py).
+      differentiable: gradients will flow through this call. Selects the
+        custom-VJP Pallas warp (transposed-warp backward kernel) instead of
+        the fused cost kernel; camera/homography cotangents are zero.
     """
     V_minus_1, B, D = homographies.shape[:3]
     H, W, C = ref_feature.shape[1:]
@@ -105,15 +109,20 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             pallas_sweep_cost_volume,
             pallas_sweep_supported,
             pallas_warp_all_depths,
+            pallas_warp_all_depths_ad,
         )
-        if pallas_cost_supported(H, W, C, V_minus_1, ref_feature.dtype):
+        if (not differentiable
+                and pallas_cost_supported(H, W, C, V_minus_1, ref_feature.dtype)):
             # fully fused warp+variance: no per-view warped volumes in HBM
             views_bmajor = jnp.moveaxis(view_features, 0, 1)
             homs_bmajor = jnp.moveaxis(homographies, 0, 1)
             fused = jax.vmap(lambda r, v, h_: pallas_sweep_cost_volume(r, v, h_))
             return fused(ref_feature, views_bmajor, homs_bmajor).astype(out_dtype)
         if pallas_sweep_supported(H, W, C, ref_feature.dtype):
-            warp_fn = pallas_warp_all_depths
+            if differentiable:
+                warp_fn = lambda img, homs: pallas_warp_all_depths_ad(img, homs)
+            else:
+                warp_fn = pallas_warp_all_depths
 
     def per_batch(ref_b, views_b, homs_b):
         # ref_b: (H,W,C); views_b: (V-1,H,W,C); homs_b: (V-1,D,3,3)

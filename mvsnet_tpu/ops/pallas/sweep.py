@@ -215,6 +215,109 @@ def pallas_warp_all_depths(img, homographies, interpret: bool = False):
     )(x, y, img)
 
 
+def _transpose_kernel(x_ref, y_ref, g_ref, out_ref):
+    """Transposed warp (the VJP of _sweep_kernel wrt the source image).
+
+    Per (depth, row-block) grid cell, scatter the block's output-row
+    cotangents back through the SAME one-hot banded matrices, transposed —
+    accumulating into the (H, W, C) cotangent block, whose constant index
+    map persists across the (sequential) grid.
+
+    x_ref/y_ref: (1, ROWS, W) coords; g_ref: (1, ROWS, W, C) cotangent
+    rows; out_ref: (H, W, C) f32 accumulator.
+    """
+    H, W, C = out_ref.shape
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+
+    for y in range(ROWS_PER_CELL):
+        xrow = x_ref[0, y:y + 1, :]
+        yrow = y_ref[0, y:y + 1, :]
+        x0f = jnp.floor(xrow)
+        fx = xrow - x0f
+        r0f = jnp.floor(yrow)
+        fy = yrow - r0f
+        x0 = x0f.astype(jnp.int32)
+        r0 = r0f.astype(jnp.int32)
+        in_x0 = (x0 >= 0) & (x0 < W)
+        in_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+        wx = (jnp.where((iota_i == x0) & in_x0, 1.0 - fx, 0.0)
+              + jnp.where((iota_i == (x0 + 1)) & in_x1, fx, 0.0))  # (W, W) [j, x]
+
+        g_row = g_ref[0, y, :, :].astype(jnp.float32)              # (W, C) [x, c]
+        rmin = jnp.maximum(jnp.min(r0), 0)
+        rmax = jnp.minimum(jnp.max(r0) + 1, H - 1)
+
+        def body(r, _):
+            roww = (jnp.where(r0 == r, 1.0 - fy, 0.0)
+                    + jnp.where(r0 == (r - 1), fy, 0.0))           # (1, W) over x
+            m = roww * wx                                          # (W, W) [j, x]
+            # d_src[r, j, c] += sum_x m[j, x] g[x, c]
+            contrib = jax.lax.dot_general(
+                m, g_row, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[pl.ds(r, 1), :, :] += contrib[None]
+            return 0
+
+        jax.lax.fori_loop(rmin, rmax + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "C", "interpret"))
+def _pallas_warp_transpose(g, homographies, H, W, C, interpret: bool = False):
+    """dL/dsrc for the all-depths warp: (D, H, W, C) cotangent -> (H, W, C)."""
+    D = homographies.shape[0]
+    x, y = _coords_by_cell(homographies, H, W)
+    out = pl.pallas_call(
+        _transpose_kernel,
+        grid=(D, H // ROWS_PER_CELL),
+        in_specs=[
+            pl.BlockSpec((1, ROWS_PER_CELL, W), lambda d, rb: (d, rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS_PER_CELL, W), lambda d, rb: (d, rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS_PER_CELL, W, C), lambda d, rb: (d, rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, C), jnp.float32),
+        interpret=interpret,
+    )(x, y, g)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_warp_all_depths_ad(img, homographies, interpret: bool = False):
+    """Differentiable Pallas warp: custom VJP via the transposed-warp kernel.
+
+    The warp is linear in `img`, so the VJP is exact (the same one-hot
+    matrices, transposed). Homography/camera cotangents are NOT propagated
+    (cameras are data in every training path; a zero tangent is returned).
+    """
+    return pallas_warp_all_depths(img, homographies, interpret=interpret)
+
+
+def _warp_ad_fwd(img, homographies, interpret):
+    out = pallas_warp_all_depths(img, homographies, interpret=interpret)
+    # dtype token: residuals must be JAX values
+    return out, (homographies, jnp.zeros((), img.dtype))
+
+
+def _warp_ad_bwd(interpret, residuals, g):
+    homographies, dtype_token = residuals
+    _, H, W, C = g.shape
+    d_img = _pallas_warp_transpose(g, homographies, H, W, C, interpret=interpret)
+    return d_img.astype(dtype_token.dtype), jnp.zeros_like(homographies)
+
+
+pallas_warp_all_depths_ad.defvjp(_warp_ad_fwd, _warp_ad_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
                              interpret: bool = False):

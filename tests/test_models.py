@@ -181,3 +181,20 @@ def test_bf16_compute_path():
     # params stay f32
     leaves = jax.tree_util.tree_leaves(vars_["params"])
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_dsl_extras():
+    """fc / pooling / dropout layer DSL parity (reference: network.py:417-517)."""
+    from mvsnet_tpu.models.layers import Fc, avg_pool, l2_pool, max_pool
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    y, _ = Fc(num_out=16).init_with_output(jax.random.PRNGKey(0), x)
+    assert y.shape == (2, 16)
+    assert (np.asarray(y) >= 0).all()   # relu default
+    mp = max_pool(x)
+    ap = avg_pool(x)
+    lp = l2_pool(x)
+    assert mp.shape == ap.shape == lp.shape == (2, 4, 4, 4)
+    assert float(jnp.min(mp - ap)) >= -1e-6   # max >= mean per window
+    np.testing.assert_allclose(
+        np.asarray(l2_pool(jnp.ones_like(x))), 1.0, atol=1e-3)

@@ -92,3 +92,33 @@ def test_fused_cost_volume_identity_views_zero():
     homs = jnp.broadcast_to(jnp.eye(3), (2, D, 3, 3))
     out = np.asarray(pallas_sweep_cost_volume(ref, views, homs, interpret=True))
     np.testing.assert_allclose(out, 0.0, atol=1e-5)
+
+
+def test_warp_vjp_matches_xla():
+    """Custom VJP (transposed-warp kernel) == autodiff of the XLA warp."""
+    from mvsnet_tpu.ops.pallas.sweep import pallas_warp_all_depths_ad
+    rng = np.random.default_rng(5)
+    H, W, C, D = 16, 24, 8, 4
+    img = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    homs = make_homs(D)
+    g = jnp.asarray(rng.standard_normal((D, H, W, C)), jnp.float32)
+
+    def loss_p(im):
+        return jnp.sum(pallas_warp_all_depths_ad(im, homs, True) * g)
+
+    def loss_x(im):
+        return jnp.sum(_warp_all_depths(im, homs, "zeros") * g)
+
+    gp = jax.grad(loss_p)(img)
+    gx = jax.grad(loss_x)(img)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-4, rtol=2e-4)
+
+
+def test_warp_vjp_forward_unchanged():
+    from mvsnet_tpu.ops.pallas.sweep import pallas_warp_all_depths_ad, pallas_warp_all_depths
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.standard_normal((8, 16, 4)), jnp.float32)
+    homs = make_homs(3)
+    np.testing.assert_allclose(
+        np.asarray(pallas_warp_all_depths_ad(img, homs, True)),
+        np.asarray(pallas_warp_all_depths(img, homs, interpret=True)), atol=1e-6)
