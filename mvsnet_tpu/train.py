@@ -129,18 +129,32 @@ def configs_from_args(args):
 
 
 class MetricsSink:
-    """JSONL metrics log (wandb stand-in; reference logged to wandb at
-    train.py:506-515)."""
+    """JSONL metrics log, plus optional wandb mirroring (reference logged to
+    wandb at train.py:506-515). wandb engages only when the package is
+    installed AND WANDB_API_KEY/WANDB_MODE is configured — never by default,
+    and no hardcoded keys (the reference shipped one; utils.py:61-72)."""
 
-    def __init__(self, path):
+    def __init__(self, path, run_name=None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
+        self._wandb = None
+        if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE"):
+            try:
+                import wandb  # noqa: PLC0415
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "mvsnet_tpu"),
+                           name=run_name)
+                self._wandb = wandb
+            except Exception as e:  # wandb missing/unconfigured: JSONL only
+                logger.debug("wandb disabled: %s", e)
 
     def log(self, step: int, **metrics):
         rec = {"step": step, "time": time.time()}
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "time"},
+                            step=step)
 
 
 def make_loader(dcfg: DataConfig, tcfg: TrainConfig, mode: str, workers: int = 2):
@@ -173,7 +187,8 @@ def train(args) -> int:
     maybe_init_distributed(args)
     mcfg, tcfg, dcfg = configs_from_args(args)
     model = MVSNet(mcfg)
-    metrics_sink = MetricsSink(os.path.join(args.model_dir, "metrics.jsonl"))
+    metrics_sink = MetricsSink(os.path.join(args.model_dir, "metrics.jsonl"),
+                               run_name=args.run_name)
     # persist the run configuration for reproducibility / inference parity
     from mvsnet_tpu.config import save_config
     os.makedirs(args.model_dir, exist_ok=True)
