@@ -129,3 +129,17 @@ def test_gipuma_export(tmp_path):
     assert os.path.exists(os.path.join(pf, "images", "0.jpg"))
     assert os.path.exists(os.path.join(pf, "2333__0", "disp.dmb"))
     assert os.path.exists(os.path.join(pf, "2333__0", "normals.dmb"))
+
+
+def test_infer_cli_gru(tmp_path):
+    from mvsnet_tpu.infer import main
+    session = make_session(str(tmp_path / "sess"), n_images=3, with_depths=False)
+    rc = main(["--input_dir", session, "--regularization", "GRU",
+               "--view_num", "3", "--max_d", "8", "--width", "64", "--height", "64",
+               "--base_image_size", "32", "--network_mode", "lite",
+               "--compute_dtype", "float32"])
+    assert rc == 0
+    out = os.path.join(session, "depths_mvsnet")
+    depth = load_pfm(os.path.join(out, "0_init.pfm"))
+    # WTA depths snap to sweep samples within [min_depth, max_depth]
+    assert depth.min() >= 1500 - 1 and depth.max() <= 2500 + 1

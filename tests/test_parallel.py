@@ -73,3 +73,31 @@ def test_sharded_matches_single_device():
                                rtol=2e-4)
     np.testing.assert_allclose(float(m_single["less_one"]),
                                float(m_sharded["less_one"]), atol=2e-3)
+
+
+def test_sharded_inference_matches_single():
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.infer_step import make_sharded_forward
+    from mvsnet_tpu.parallel.train_step import shard_state
+    import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32")
+    model = MVSNet(cfg)
+    images, cams, _, _ = ge._tiny_batch(batch=2)
+    ds = cams[:, 0, 1, 3, 0]
+    di = cams[:, 0, 1, 3, 1]
+    variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                           training=False, method=MVSNet.forward_3dcnn)
+    single = model.apply(variables, images, cams, ds, di, training=False,
+                         method=MVSNet.forward_3dcnn)
+
+    mesh = make_mesh(8)
+    fwd = make_sharded_forward(model, cfg, mesh)
+    repl = NamedSharding(mesh, PartitionSpec())
+    sharded = fwd(jax.device_put(variables, repl), images, cams, ds, di)
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                               rtol=1e-4, atol=1e-4)
+    set_active_mesh(None)
