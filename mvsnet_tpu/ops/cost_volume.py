@@ -124,20 +124,36 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             else:
                 warp_fn = pallas_warp_all_depths
 
-    def per_batch(ref_b, views_b, homs_b):
-        # ref_b: (H,W,C); views_b: (V-1,H,W,C); homs_b: (V-1,D,3,3)
+    def chunk_cost(ref_b, views_b, homs_chunk):
+        # homs_chunk: (V-1, dc, 3, 3) -> (dc, H, W, C) cost
+        dc = homs_chunk.shape[1]
         acc_dtype = jnp.float32
         ref32 = ref_b.astype(acc_dtype)
-        s = jnp.broadcast_to(ref32[None], (D, H, W, C))
-        s2 = jnp.broadcast_to(jnp.square(ref32)[None], (D, H, W, C))
+        s = jnp.broadcast_to(ref32[None], (dc, H, W, C))
+        s2 = jnp.broadcast_to(jnp.square(ref32)[None], (dc, H, W, C))
         # python loop over the few source views; XLA fuses the elementwise
         # accumulation into the warp consumers.
         for v in range(V_minus_1):
-            warped = warp_fn(views_b[v], homs_b[v]).astype(acc_dtype)
+            warped = warp_fn(views_b[v], homs_chunk[v]).astype(acc_dtype)
             s = s + warped
             s2 = s2 + jnp.square(warped)
         mean = s / view_num
         return (s2 / view_num - jnp.square(mean)).astype(out_dtype)
+
+    # Keep peak f32 accumulator footprint under ~2 GB: process depth in
+    # chunks when the full volume is large (R-MVSNet 1600x1184 D=256 would
+    # otherwise hold ~12 GB of f32 temporaries and OOM 16 GB HBM).
+    acc_bytes = D * H * W * C * 4
+    n_chunks = max(1, -(-acc_bytes // (2 * 1024 ** 3)))
+    chunk = -(-D // n_chunks)
+
+    def per_batch(ref_b, views_b, homs_b):
+        if n_chunks == 1:
+            return chunk_cost(ref_b, views_b, homs_b)
+        parts = []
+        for c0 in range(0, D, chunk):
+            parts.append(chunk_cost(ref_b, views_b, homs_b[:, c0:c0 + chunk]))
+        return jnp.concatenate(parts, axis=0)
 
     views_bmajor = jnp.moveaxis(view_features, 0, 1)   # (B, V-1, H, W, C)
     homs_bmajor = jnp.moveaxis(homographies, 0, 1)     # (B, V-1, D, 3, 3)
