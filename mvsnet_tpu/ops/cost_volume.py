@@ -103,6 +103,7 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
     out_dtype = out_dtype or ref_feature.dtype
 
     warp_fn = lambda img, homs: _warp_all_depths(img, homs, fill_mode)
+    pallas_warp = False
     if use_pallas and fill_mode == "zeros" and jax.default_backend() == "tpu":
         from mvsnet_tpu.ops.pallas.sweep import (  # noqa: PLC0415
             pallas_cost_supported,
@@ -113,16 +114,21 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
         )
         if (not differentiable
                 and pallas_cost_supported(H, W, C, V_minus_1, ref_feature.dtype)):
-            # fully fused warp+variance: no per-view warped volumes in HBM
+            # fully fused warp+variance: no per-view warped volumes in HBM.
+            # Batch is python-looped (vmap would make every batch element
+            # VMEM-resident simultaneously and blow the 16 MB budget).
             views_bmajor = jnp.moveaxis(view_features, 0, 1)
             homs_bmajor = jnp.moveaxis(homographies, 0, 1)
-            fused = jax.vmap(lambda r, v, h_: pallas_sweep_cost_volume(r, v, h_))
-            return fused(ref_feature, views_bmajor, homs_bmajor).astype(out_dtype)
+            outs = [pallas_sweep_cost_volume(ref_feature[b], views_bmajor[b],
+                                             homs_bmajor[b])
+                    for b in range(B)]
+            return jnp.stack(outs, axis=0).astype(out_dtype)
         if pallas_sweep_supported(H, W, C, ref_feature.dtype):
             if differentiable:
                 warp_fn = lambda img, homs: pallas_warp_all_depths_ad(img, homs)
             else:
                 warp_fn = pallas_warp_all_depths
+            pallas_warp = True
 
     def chunk_cost(ref_b, views_b, homs_chunk):
         # homs_chunk: (V-1, dc, 3, 3) -> (dc, H, W, C) cost
@@ -157,6 +163,11 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
 
     views_bmajor = jnp.moveaxis(view_features, 0, 1)   # (B, V-1, H, W, C)
     homs_bmajor = jnp.moveaxis(homographies, 0, 1)     # (B, V-1, D, 3, 3)
+    if pallas_warp:
+        # vmap over a pallas_call makes all batch elements VMEM-resident;
+        # loop the (small, static) batch instead.
+        return jnp.stack([per_batch(ref_feature[b], views_bmajor[b], homs_bmajor[b])
+                          for b in range(B)], axis=0)
     return jax.vmap(per_batch)(ref_feature, views_bmajor, homs_bmajor)
 
 
