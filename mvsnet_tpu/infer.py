@@ -49,6 +49,8 @@ def build_parser():
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--max_clusters_per_session", type=int, default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard 3D-CNN inference over N devices (mesh)")
     return p
 
 
@@ -75,7 +77,8 @@ def compute_depth_maps(input_dir: str, args, predictor=None):
     gen = pl.setup_data_iterator(input_dir, mcfg, benchmark=False,
                                  max_clusters_per_session=args.max_clusters_per_session)
     if predictor is None:
-        predictor = pl.Predictor(mcfg, args.model_dir, args.ckpt_step)
+        predictor = pl.Predictor(mcfg, args.model_dir, args.ckpt_step,
+                             num_devices=args.num_devices)
 
     upsample = bool(args.refinement and args.upsample_before_refinement)
     n = len(gen.clusters)

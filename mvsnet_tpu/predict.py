@@ -50,14 +50,21 @@ def setup_data_iterator(input_dir: str, mcfg: ModelConfig, benchmark: bool,
 
 
 class Predictor:
-    """Loads a trained MVSNet and performs jitted depth+prob inference."""
+    """Loads a trained MVSNet and performs jitted depth+prob inference.
+
+    num_devices > 1 runs the 3D-CNN forward sharded over a
+    ('data','depth','space') mesh (GRU decode stays single-device — its
+    depth scan is sequential).
+    """
 
     def __init__(self, mcfg: ModelConfig, model_dir: Optional[str] = None,
-                 ckpt_step: Optional[int] = None):
+                 ckpt_step: Optional[int] = None,
+                 num_devices: Optional[int] = None):
         self.mcfg = mcfg
         self.model = MVSNet(mcfg)
         self.model_dir = model_dir
         self.ckpt_step = ckpt_step
+        self.num_devices = num_devices
         self.variables = None
         self._jit_fn = None
 
@@ -84,6 +91,22 @@ class Predictor:
     def _build_jit(self):
         mcfg = self.mcfg
         model = self.model
+
+        if ((self.num_devices or 1) > 1 and mcfg.regularization == "3DCNN"
+                and not mcfg.refinement):
+            from mvsnet_tpu.parallel.infer_step import make_sharded_forward  # noqa: PLC0415
+            from mvsnet_tpu.parallel.mesh import factorize_devices, make_mesh  # noqa: PLC0415
+            # inference batches are tiny (usually 1): keep the data axis at 1
+            # and give all devices to depth x space.
+            da, de_, sp = factorize_devices(self.num_devices)
+            mesh = make_mesh(self.num_devices, shape=(1, da * de_, sp))
+            sharded = make_sharded_forward(model, mcfg, mesh)
+
+            def forward_sharded(variables, images, cams, ds, di, de):
+                depth_map, prob_map = sharded(variables, images, cams, ds, di)
+                return depth_map, prob_map, jnp.zeros_like(depth_map)
+
+            return forward_sharded
 
         def forward(variables, images, cams, depth_start, depth_interval, depth_end):
             if mcfg.regularization == "GRU":

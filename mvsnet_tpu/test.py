@@ -53,6 +53,8 @@ def build_parser():
     p.add_argument("--max_clusters_per_session", type=int, default=100)
     p.add_argument("--results_path", default="./results.csv")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard 3D-CNN inference over N devices (mesh)")
     return p
 
 
@@ -61,7 +63,8 @@ def benchmark_depth_maps(input_dir, args):
     mcfg = model_config_from_args(args)
     gen = pl.setup_data_iterator(input_dir, mcfg, benchmark=True,
                                  max_clusters_per_session=args.max_clusters_per_session)
-    predictor = pl.Predictor(mcfg, args.model_dir, args.ckpt_step)
+    predictor = pl.Predictor(mcfg, args.model_dir, args.ckpt_step,
+                             num_devices=args.num_devices)
     upsample_to_gt = not (args.refinement and args.upsample_before_refinement)
 
     losses, less_ones, less_threes, debugs = [], [], [], []
