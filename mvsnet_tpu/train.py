@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--depth_chunk", type=int, default=16)
+    p.add_argument("--use_pallas", type=str2bool, default=True,
+                   help="Pallas sweep kernels (custom-VJP warp in training); "
+                        "disable to trade step time for faster compiles")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel devices (default: all local)")
     p.add_argument("--loader_workers", type=int, default=2)
@@ -108,7 +111,8 @@ def configs_from_args(args):
         upsample_before_refinement=args.upsample_before_refinement,
         refine_with_confidence=args.refine_with_confidence,
         refine_with_stereo=args.refine_with_stereo,
-        compute_dtype=args.compute_dtype, depth_chunk=args.depth_chunk)
+        compute_dtype=args.compute_dtype, depth_chunk=args.depth_chunk,
+        use_pallas=args.use_pallas)
     tcfg = TrainConfig(
         batch_size=args.batch_size, epoch=args.epoch,
         max_steps_per_epoch=args.max_steps_per_epoch, base_lr=args.base_lr,
