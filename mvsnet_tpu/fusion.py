@@ -31,7 +31,7 @@ import glob
 import os
 import shutil
 import sys
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ so this is numerically identical to the reference's weight-shared towers).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,8 +12,6 @@ shard the cost volume over 'depth'/'space'. XLA GSPMD then emits:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 

@@ -11,15 +11,15 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mvsnet_tpu import checkpoint as ckpt
-from mvsnet_tpu.config import DataConfig, ModelConfig
-from mvsnet_tpu.data import ClusterGenerator, PrefetchingLoader
+from mvsnet_tpu.config import ModelConfig
+from mvsnet_tpu.data import ClusterGenerator
 from mvsnet_tpu.data.transforms import scale_image
 from mvsnet_tpu.io.cams import write_cam_txt
 from mvsnet_tpu.io.images import (
@@ -31,7 +31,6 @@ from mvsnet_tpu.io.images import (
 from mvsnet_tpu.io.pfm import write_pfm
 from mvsnet_tpu.models import MVSNet
 from mvsnet_tpu.utils.logging import setup_logger
-from mvsnet_tpu.utils.paths import mkdir_p
 
 logger = setup_logger("mvsnet_tpu.predict")
 

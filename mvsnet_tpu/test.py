@@ -16,7 +16,6 @@ import jax
 import numpy as np
 
 from mvsnet_tpu import predict as pl
-from mvsnet_tpu.config import ModelConfig
 from mvsnet_tpu.data import batch_iterator
 from mvsnet_tpu.infer import model_config_from_args
 from mvsnet_tpu.losses import mvsnet_regression_loss
