@@ -144,8 +144,15 @@ def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
                  depth_rel_threshold: float = 0.01,
                  output_path: Optional[str] = None,
                  voxel_size: float = 0.0,
-                 min_neighbors: int = 0) -> str:
-    """Probability-filter + consistency-fuse one session; returns PLY path."""
+                 min_neighbors: int = 0,
+                 shard_index: int = 0,
+                 shard_count: int = 1) -> str:
+    """Probability-filter + consistency-fuse one session; returns PLY path.
+
+    shard_index/shard_count: scene-block parallelism across hosts (SURVEY
+    §7.8) — each process fuses a disjoint subset of REFERENCE views against
+    all source views and writes final3d_model.shard<k>.ply; merge with
+    merge_shards()."""
     depth_folder = os.path.join(dense_folder, "depths_mvsnet")
     names = probability_filter(dense_folder, prob_threshold)
     if not names:
@@ -172,6 +179,8 @@ def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
 
     all_points, all_colors = [], []
     for i, ref in enumerate(views):
+        if shard_count > 1 and i % shard_count != shard_index:
+            continue
         ref_points = _backproject(ref["depth"], ref["K_inv"], ref["R"].T, ref["t"])
         ref_valid = ref["depth"] > 0
         count = jnp.zeros(ref["depth"].shape, jnp.int32)
@@ -198,7 +207,9 @@ def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
     if output_path is None:
         out_dir = os.path.join(dense_folder, "points_mvsnet", "consistencyCheck")
         mkdir_p(out_dir)
-        output_path = os.path.join(out_dir, "final3d_model.ply")
+        name = ("final3d_model.ply" if shard_count == 1
+                else f"final3d_model.shard{shard_index}.ply")
+        output_path = os.path.join(out_dir, name)
     if all_points:
         points = np.concatenate(all_points, axis=0)
         colors = np.concatenate(all_colors, axis=0)
@@ -220,6 +231,29 @@ def fuse_session(dense_folder: str, prob_threshold: float = 0.8,
 
     write_ply(output_path, points, colors=colors)
     logger.info("Wrote %d points to %s", len(points), output_path)
+    return output_path
+
+
+def merge_shards(dense_folder: str, output_path: Optional[str] = None) -> str:
+    """Concatenate shard PLYs (from multi-host fusion) into the final cloud."""
+    from mvsnet_tpu.io.ply import read_ply  # noqa: PLC0415
+    out_dir = os.path.join(dense_folder, "points_mvsnet", "consistencyCheck")
+    shard_paths = sorted(glob.glob(os.path.join(out_dir, "final3d_model.shard*.ply")))
+    if not shard_paths:
+        raise FileNotFoundError(f"no shard PLYs under {out_dir}")
+    points, colors = [], []
+    for p in shard_paths:
+        pts, cols = read_ply(p)
+        points.append(pts)
+        if cols is not None:
+            colors.append(cols)
+    points = np.concatenate(points, axis=0)
+    colors = np.concatenate(colors, axis=0) if colors else None
+    if output_path is None:
+        output_path = os.path.join(out_dir, "final3d_model.ply")
+    write_ply(output_path, points, colors=colors)
+    logger.info("Merged %d shards -> %d points at %s",
+                len(shard_paths), len(points), output_path)
     return output_path
 
 
@@ -271,15 +305,22 @@ def main(argv=None) -> int:
                    help="voxel edge (scene units) for native point consolidation; 0 = off")
     p.add_argument("--min_neighbors", type=int, default=0,
                    help="density outlier filter: min points within 3*voxel_size; 0 = off")
-    p.add_argument("--mode", default="native", choices=["native", "gipuma-export"],
+    p.add_argument("--mode", default="native",
+                   choices=["native", "gipuma-export", "merge-shards"],
                    help="native: in-framework fusion to PLY; gipuma-export: "
-                        "write fusibile-compatible inputs only")
+                        "write fusibile-compatible inputs; merge-shards: "
+                        "combine multi-host shard PLYs")
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--shard_count", type=int, default=1)
     args = p.parse_args(argv)
 
     if args.mode == "native":
         fuse_session(args.dense_folder, args.prob_threshold, args.disp_threshold,
                      args.num_consistent, args.depth_rel_threshold,
-                     voxel_size=args.voxel_size, min_neighbors=args.min_neighbors)
+                     voxel_size=args.voxel_size, min_neighbors=args.min_neighbors,
+                     shard_index=args.shard_index, shard_count=args.shard_count)
+    elif args.mode == "merge-shards":
+        merge_shards(args.dense_folder)
     else:
         point_folder = os.path.join(args.dense_folder, "points_mvsnet")
         mkdir_p(point_folder)

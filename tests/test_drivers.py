@@ -143,3 +143,22 @@ def test_infer_cli_gru(tmp_path):
     depth = load_pfm(os.path.join(out, "0_init.pfm"))
     # WTA depths snap to sweep samples within [min_depth, max_depth]
     assert depth.min() >= 1500 - 1 and depth.max() <= 2500 + 1
+
+
+def test_fusion_sharded_matches_single(tmp_path):
+    """Scene-block sharded fusion (2 shards) + merge == single-process fusion."""
+    from mvsnet_tpu.fusion import fuse_session, merge_shards
+    session = make_session(str(tmp_path / "s"), n_images=4)
+    out_dir = os.path.join(session, "depths_mvsnet")
+    _write_gt_predictions(session, out_dir)
+    single = fuse_session(session, prob_threshold=0.5, disp_threshold=1.0,
+                          num_consistent=2,
+                          output_path=str(tmp_path / "single.ply"))
+    for k in (0, 1):
+        fuse_session(session, prob_threshold=0.5, disp_threshold=1.0,
+                     num_consistent=2, shard_index=k, shard_count=2)
+    merged = merge_shards(session)
+    p1, _ = read_ply(single)
+    p2, _ = read_ply(merged)
+    assert p1.shape == p2.shape
+    np.testing.assert_allclose(np.sort(p1, axis=0), np.sort(p2, axis=0), atol=1e-4)
