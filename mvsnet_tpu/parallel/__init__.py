@@ -12,6 +12,12 @@ scaling axes native to plane-sweep MVS are first-class mesh axes:
 Gradient reduction, collective softmax over sharded depth, and halo
 exchanges are all emitted by XLA from sharding annotations — no hand-written
 collectives in the model code.
+
+There is deliberately NO 'view' mesh axis: V-1 <= 7 source views each do
+independent full-image work, which the warp kernel / XLA already saturate
+per chip; splitting views across chips would replicate the reference
+feature map everywhere and fragment MXU work for no bandwidth win. View
+accumulation stays intra-chip (fused into the sweep kernel).
 """
 
 from mvsnet_tpu.parallel.mesh import (  # noqa: F401
