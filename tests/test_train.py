@@ -116,3 +116,26 @@ def test_cli_driver_smoke(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(model_dir, "metrics.jsonl"))
     assert ckpt.latest_step(model_dir, "3DCNN", "ultralite") is not None
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    """--ckpt_step resumes the trainer from a saved state (reference:
+    train.py:139-153)."""
+    from mvsnet_tpu.train import main
+    root = str(tmp_path / "data")
+    make_dataset(root, n_sessions=1, split="train", n_images=3)
+    model_dir = str(tmp_path / "models")
+    common = [
+        "--train_data_root", root, "--model_dir", model_dir,
+        "--view_num", "3", "--max_d", "8", "--width", "64", "--height", "64",
+        "--base_image_size", "32", "--network_mode", "ultralite",
+        "--compute_dtype", "float32", "--epoch", "1", "--max_steps_per_epoch", "2",
+        "--optimizer", "adam", "--loss_type", "original", "--grad_loss", "false",
+        "--num_devices", "1", "--snapshot", "1000",
+    ]
+    assert main(common) == 0
+    step0 = ckpt.latest_step(model_dir, "3DCNN", "ultralite")
+    assert step0 == 2
+    # resume: continues the counter past the restored step
+    assert main(common + ["--ckpt_step", str(step0)]) == 0
+    assert ckpt.latest_step(model_dir, "3DCNN", "ultralite") == step0 + 2
