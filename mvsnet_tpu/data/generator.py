@@ -190,30 +190,34 @@ class ClusterGenerator:
         return (output_images, input_images, output_cams, full_cams,
                 c.ref_index, c.session_dir)
 
-    def iterate_once(self) -> Iterator:
-        """One pass over the clusters (an epoch)."""
-        if self.mode in ("train", "val"):
-            for c in self.clusters:
-                try:
-                    images, cams, rescaled_depth, full_depth = self._train_sample(c)
-                except Exception as e:
-                    logger.warning("Cluster %s at %s failed: %s. Skipping!",
-                                   c.indices, c.session_dir, e)
-                    continue
-                yield images, cams, rescaled_depth, full_depth
+    def cluster_samples(self, c: Cluster) -> list:
+        """Decode ONE cluster into its sample tuple(s).
+
+        The per-cluster unit of work for concurrent loaders
+        (data/loader.py): train/val clusters yield 1 sample (2 with the GRU
+        cam flip, reference: cluster_generator.py:217-219), eval clusters 1.
+        Failures skip the cluster with a warning, not fatally (reference:
+        cluster_generator.py:221-224).
+        """
+        try:
+            if self.mode in ("train", "val"):
+                images, cams, rescaled_depth, full_depth = self._train_sample(c)
+                out = [(images, cams, rescaled_depth, full_depth)]
                 if self.flip_cams:
                     flipped = np.copy(cams)
                     flipped[0] = ut.flip_cams(cams, self.depth_num)[0]
-                    yield images, flipped, rescaled_depth, full_depth
-        else:
-            with_gt = self.mode == "test"
-            for c in self.clusters:
-                try:
-                    yield self._eval_sample(c, with_gt)
-                except Exception as e:
-                    logger.warning("Cluster %s at %s failed: %s. Skipping!",
-                                   c.indices, c.session_dir, e)
-                    continue
+                    out.append((images, flipped, rescaled_depth, full_depth))
+                return out
+            return [self._eval_sample(c, self.mode == "test")]
+        except Exception as e:
+            logger.warning("Cluster %s at %s failed: %s. Skipping!",
+                           c.indices, c.session_dir, e)
+            return []
+
+    def iterate_once(self) -> Iterator:
+        """One pass over the clusters (an epoch)."""
+        for c in self.clusters:
+            yield from self.cluster_samples(c)
 
     def __iter__(self):
         """Endless iterator (reference semantics: loops forever)."""

@@ -3,14 +3,22 @@
 Replaces the reference's tf.data.from_generator + parallel_interleave +
 prefetch stack (reference: train.py:209-246) with a plain thread pool that
 decodes clusters concurrently on the host while the TPU computes, and a
-double-buffered prefetch queue. No TF dependency.
+bounded prefetch queue. No TF dependency.
+
+Concurrency model: when the source exposes the per-cluster work API
+(`.clusters` + `.cluster_samples`, data/generator.py), `workers` threads
+each decode one cluster at a time and push finished samples to the queue in
+COMPLETION order — the same "sloppy" semantics as the reference's
+`parallel_interleave(sloppy=True)` (reference: train.py:240-245): decode
+stragglers never stall the device feed, at the cost of a nondeterministic
+sample order. Plain iterables fall back to a single producer thread.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, wait
 from typing import Iterable, Iterator, Optional
 
 import numpy as np
@@ -33,7 +41,17 @@ def batch_iterator(sample_iter: Iterable, batch_size: int) -> Iterator:
 class PrefetchingLoader:
     """Iterate `generator` with `workers` decode threads and a bounded
     prefetch queue (the host-side analogue of parallel_interleave +
-    prefetch, reference: train.py:230-246)."""
+    prefetch, reference: train.py:230-246).
+
+    Args:
+      generator_factory: () -> iterable of sample tuples; a fresh instance
+        is created per epoch. ClusterGenerator instances get true
+        multi-worker decode; any other iterable runs single-producer.
+      batch_size: samples stacked per yielded batch.
+      workers: concurrent cluster-decode threads (>=2 enables the pool).
+      prefetch: decoded samples buffered ahead of the consumer.
+      epochs: passes over the data (None = endless).
+    """
 
     _SENTINEL = object()
 
@@ -41,39 +59,99 @@ class PrefetchingLoader:
                  prefetch: int = 2, epochs: Optional[int] = None):
         self.generator_factory = generator_factory
         self.batch_size = batch_size
-        self.workers = workers
-        self.prefetch = prefetch
+        self.workers = max(1, int(workers))
+        self.prefetch = max(1, int(prefetch))
         self.epochs = epochs
+
+    # -- sample producers ----------------------------------------------------
+
+    def _produce_serial(self, factory, q, stop):
+        try:
+            epoch = 0
+            while not stop.is_set() and (self.epochs is None or epoch < self.epochs):
+                gen = factory()
+                it = gen.iterate_once() if hasattr(gen, "iterate_once") else iter(gen)
+                for sample in it:
+                    if stop.is_set():
+                        return
+                    if not self._put(q, sample, stop):
+                        return
+                epoch += 1
+        finally:
+            self._put(q, self._SENTINEL, stop, force=True)
+
+    def _produce_pooled(self, factory, q, stop):
+        """Cluster-parallel decode: a pool of `workers` threads each decodes
+        one cluster and pushes its samples in completion ("sloppy") order.
+        Backpressure comes from the bounded queue — each worker blocks on
+        put() once `prefetch` samples are buffered."""
+
+        def decode(gen, cluster):
+            if stop.is_set():
+                return
+            for sample in gen.cluster_samples(cluster):
+                if not self._put(q, sample, stop):
+                    return
+
+        try:
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                epoch = 0
+                while not stop.is_set() and (self.epochs is None or epoch < self.epochs):
+                    gen = factory()
+                    futures = [pool.submit(decode, gen, c) for c in gen.clusters]
+                    wait(futures)
+                    for f in futures:      # surface decode-thread crashes
+                        exc = f.exception()
+                        if exc is not None:
+                            raise exc
+                    epoch += 1
+        finally:
+            self._put(q, self._SENTINEL, stop, force=True)
+
+    def _put(self, q, item, stop, force: bool = False) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while True:
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if stop.is_set() and not force:
+                    return False
+
+    # -- consumer --------------------------------------------------------
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            try:
-                epoch = 0
-                while not stop.is_set() and (self.epochs is None or epoch < self.epochs):
-                    gen = self.generator_factory()
-                    it = gen.iterate_once() if hasattr(gen, "iterate_once") else iter(gen)
-                    for batch in batch_iterator(it, self.batch_size):
-                        if stop.is_set():
-                            return
-                        q.put(batch)
-                    epoch += 1
-            finally:
-                q.put(self._SENTINEL)
+        probe = self.generator_factory()
+        pooled = (self.workers > 1
+                  and hasattr(probe, "clusters")
+                  and hasattr(probe, "cluster_samples"))
+        producer = self._produce_pooled if pooled else self._produce_serial
+        # the probe instance is reused for epoch 0 by wrapping the factory
+        first = [probe]
 
-        t = threading.Thread(target=producer, daemon=True)
+        def factory():
+            if first:
+                return first.pop()
+            return self.generator_factory()
+
+        t = threading.Thread(target=producer, args=(factory, q, stop), daemon=True)
         t.start()
-        try:
+
+        def samples():
             while True:
                 item = q.get()
                 if item is self._SENTINEL:
-                    break
+                    return
                 yield item
+
+        try:
+            yield from batch_iterator(samples(), self.batch_size)
         finally:
             stop.set()
-            # drain so the producer can exit
+            # drain so producers can exit
             try:
                 while True:
                     q.get_nowait()
