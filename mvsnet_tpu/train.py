@@ -203,14 +203,33 @@ def train(args) -> int:
     train_gen = train_factory()
     samples_per_epoch = len(train_gen)
     train_loader = PrefetchingLoader(
-        lambda: train_gen, batch_size=tcfg.batch_size, epochs=tcfg.epoch)
+        lambda: train_gen, batch_size=tcfg.batch_size, epochs=tcfg.epoch,
+        workers=args.loader_workers)
 
-    n_dev = tcfg.num_devices or jax.local_device_count()
+    # Device topology: single-device jit, or a sharded step over the
+    # ('data','depth','space') mesh — GLOBAL devices when this is one
+    # process of a multi-host (DCN) run.
+    multiprocess = jax.process_count() > 1
+    n_dev = tcfg.num_devices or (
+        jax.device_count() if multiprocess else jax.local_device_count())
+    mesh = None
     if n_dev > 1:
-        from mvsnet_tpu.parallel.train_step import make_sharded_train_step
-        step_fn, state_spec = make_sharded_train_step(model, mcfg, tcfg, n_dev)
+        from mvsnet_tpu.parallel.train_step import (make_sharded_train_step,
+                                                    shard_state)
+        step_fn, mesh = make_sharded_train_step(model, mcfg, tcfg, n_dev)
     else:
         step_fn = train_lib.make_train_step(model, mcfg, tcfg)
+
+    def device_batch(batch):
+        """Host batches -> step inputs. Single-process jit moves numpy with
+        the declared in_shardings; a multi-host run must assemble the global
+        array from each process's local shard."""
+        if mesh is None or not multiprocess:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        return tuple(jax.make_array_from_process_local_data(sharding, np.asarray(b))
+                     for b in batch)
 
     # init / restore
     first = next(iter(PrefetchingLoader(lambda: train_factory(),
@@ -224,6 +243,11 @@ def train(args) -> int:
                                         mcfg.network_mode, state, args.ckpt_step)
         total_step = args.ckpt_step
         logger.info("Restored checkpoint step %d from %s", total_step, load_dir)
+    if mesh is not None:
+        # place params/opt state replicated across the mesh up front — jit
+        # would auto-reshard, but that defeats donate_argnums (a fresh copy
+        # per step) and hides placement bugs.
+        state = shard_state(state, mesh)
 
     n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(state.params))
     logger.info("Training MVSNet(%s/%s) with %d params on %d device(s); "
@@ -231,7 +255,11 @@ def train(args) -> int:
                 n_params, n_dev, samples_per_epoch)
 
     # validation (reference: train.py:373-409) — only when a val split exists
-    eval_step = train_lib.make_eval_step(model, mcfg, tcfg)
+    if mesh is not None:
+        from mvsnet_tpu.parallel.train_step import make_sharded_eval_step
+        eval_step = make_sharded_eval_step(model, mcfg, tcfg, mesh)
+    else:
+        eval_step = train_lib.make_eval_step(model, mcfg, tcfg)
     has_val = os.path.isdir(os.path.join(dcfg.data_dir, "val"))
 
     def run_validation(state, total_step):
@@ -241,7 +269,8 @@ def train(args) -> int:
         for i, vbatch in enumerate(val_loader):
             if i >= int(tcfg.val_batch_size):
                 break
-            vals.append({k: float(v) for k, v in eval_step(state, vbatch).items()})
+            vals.append({k: float(v)
+                         for k, v in eval_step(state, device_batch(vbatch)).items()})
         if vals:
             avg = {("val_" + k): float(np.mean([m[k] for m in vals])) for k in vals[0]}
             metrics_sink.log(total_step, **avg)
@@ -258,7 +287,7 @@ def train(args) -> int:
         if args.profile_dir and step == 15:
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s", args.profile_dir)
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, device_batch(batch))
         loss = float(metrics["loss"])
         duration = time.time() - t_step
         t_step = time.time()
@@ -274,8 +303,13 @@ def train(args) -> int:
             avg = {k: float(np.mean([m[k] for m in window])) for k in window[0]}
             metrics_sink.log(total_step, time_per_step=duration, **avg)
             window = []
-        total_step += tcfg.batch_size * n_dev
-        if total_step % tcfg.snapshot < tcfg.batch_size * n_dev:
+        # reference advances the step counter by samples consumed
+        # (train.py:518-519: batch_size*num_gpus, one batch per GPU); here
+        # one loader batch is sharded across the mesh, so samples/step =
+        # batch_size per process.
+        samples_per_step = tcfg.batch_size * jax.process_count()
+        total_step += samples_per_step
+        if total_step % tcfg.snapshot < samples_per_step:
             ckpt.save_checkpoint(args.model_dir, mcfg.regularization,
                                  mcfg.network_mode, total_step, state)
         if has_val and step > 0 and step % int(tcfg.train_steps_per_val) == 0:
