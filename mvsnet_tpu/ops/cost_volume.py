@@ -21,10 +21,14 @@ module is the pure-XLA reference implementation and the fallback on CPU.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
 from mvsnet_tpu.ops.warp import bilinear_sample, projected_coords
+
+logger = logging.getLogger("mvsnet_tpu.ops.cost_volume")
 
 
 def _sweep_chunk(ref_feature, view_features, homs_chunk, fill_mode):
@@ -106,13 +110,32 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
     pallas_warp = False
     if use_pallas and fill_mode == "zeros" and jax.default_backend() == "tpu":
         from mvsnet_tpu.ops.pallas.sweep import (  # noqa: PLC0415
+            pallas_cost_sharded_supported,
             pallas_cost_supported,
             pallas_sweep_cost_volume,
+            pallas_sweep_cost_volume_sharded,
             pallas_sweep_supported,
             pallas_warp_all_depths,
             pallas_warp_all_depths_ad,
         )
-        if (not differentiable
+        from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+
+        mesh = mesh_lib.active_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            # Multi-chip: a naked pallas_call under GSPMD would force full
+            # replication; use the shard_map'ed fused kernel, else XLA.
+            if (not differentiable
+                    and pallas_cost_sharded_supported(
+                        B, H, W, C, V_minus_1, D, mesh, ref_feature.dtype)):
+                return pallas_sweep_cost_volume_sharded(
+                    ref_feature, view_features, homographies,
+                    mesh).astype(out_dtype)
+            logger.warning(
+                "Pallas cost kernel unavailable on mesh %s at (B=%d, H=%d, "
+                "W=%d, C=%d, V=%d, D=%d, diff=%s) — falling back to the XLA "
+                "gather warp (slower).", dict(mesh.shape), B, H, W, C,
+                V_minus_1 + 1, D, differentiable)
+        elif (not differentiable
                 and pallas_cost_supported(H, W, C, V_minus_1, ref_feature.dtype)):
             # fully fused warp+variance: no per-view warped volumes in HBM.
             # Batch is python-looped (vmap would make every batch element
@@ -123,12 +146,23 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
                                              homs_bmajor[b])
                     for b in range(B)]
             return jnp.stack(outs, axis=0).astype(out_dtype)
-        if pallas_sweep_supported(H, W, C, ref_feature.dtype):
+        elif pallas_sweep_supported(H, W, C, ref_feature.dtype):
             if differentiable:
                 warp_fn = lambda img, homs: pallas_warp_all_depths_ad(img, homs)
             else:
                 warp_fn = pallas_warp_all_depths
+                logger.info(
+                    "Fused Pallas cost kernel needs (V=%d)+1 maps VMEM-"
+                    "resident at (H=%d, W=%d, C=%d) — using the per-view "
+                    "Pallas warp instead (still gather-free, ~2x the fused "
+                    "kernel's cost-volume time).", V_minus_1, H, W, C)
             pallas_warp = True
+        else:
+            logger.warning(
+                "Pallas sweep kernels unavailable at (H=%d, W=%d, C=%d, V=%d)"
+                " — falling back to the XLA gather warp (slower). The fused "
+                "kernel needs all V feature maps VMEM-resident.",
+                H, W, C, V_minus_1 + 1)
 
     def chunk_cost(ref_b, views_b, homs_chunk):
         # homs_chunk: (V-1, dc, 3, 3) -> (dc, H, W, C) cost

@@ -2,14 +2,15 @@
 
 Large-frame depth inference sharded across chips: batch over 'data',
 features / cost volume over 'space' (+'depth' for the regularizer) via the
-in-model constraints. The Pallas sweep kernels assume a chip-local full
-feature map, so multi-chip forwards use the XLA warp (GSPMD partitions its
-gathers with halo exchange); single-chip keeps the fused kernel.
+in-model constraints. The plane sweep keeps the fused Pallas kernel on
+multi-chip meshes via the shard_map'ed variant (output rows over 'space',
+planes over 'depth', source maps all-gathered over ICI —
+ops/pallas/sweep.py:pallas_sweep_cost_volume_sharded); shapes the sharded
+kernel can't take fall back to the XLA gather warp with a logged warning
+(ops/cost_volume.py).
 """
 
 from __future__ import annotations
-
-import dataclasses
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -25,10 +26,6 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
     mesh_lib.set_active_mesh(mesh)
     repl = NamedSharding(mesh, PartitionSpec())
     data_sharded = NamedSharding(mesh, PartitionSpec("data"))
-
-    if mesh.devices.size > 1 and cfg.use_pallas:
-        cfg = dataclasses.replace(cfg, use_pallas=False)
-        model = MVSNet(cfg)
 
     def forward(variables, images, cams, depth_start, depth_interval):
         return model.apply(variables, images, cams, depth_start,
