@@ -12,13 +12,14 @@ from __future__ import annotations
 import json
 
 import numpy as np
+from mvsnet_tpu.io.filesystem import open_file
 
 
 def load_cam_txt(path_or_file, interval_scale: float = 1.0, max_d: int | None = None):
     """Parse MVSNet cam.txt, handling the 29/30/31-word variants
     (reference: preprocess.py:116-155)."""
     if isinstance(path_or_file, (str, bytes)):
-        with open(path_or_file) as f:
+        with open_file(path_or_file) as f:
             words = f.read().split()
     else:
         text = path_or_file.read()
@@ -56,7 +57,7 @@ def load_cam_txt(path_or_file, interval_scale: float = 1.0, max_d: int | None = 
 def write_cam_txt(path, cam) -> None:
     """Write the cam tensor as cam.txt (reference: mvs_data_generation/utils.py:174-194)."""
     cam = np.asarray(cam)
-    with open(path, "w") as f:
+    with open_file(path, "w") as f:
         f.write("extrinsic\n")
         for i in range(4):
             f.write(" ".join(str(cam[0, i, j]) for j in range(4)) + " \n")
@@ -93,7 +94,7 @@ def cam_from_camera_json(camera_data: dict, min_depth: float, max_depth: float,
 
 
 def load_camera_json(path, min_depth, max_depth, depth_num, interval_scale=1.0):
-    with open(path) as f:
+    with open_file(path) as f:
         data = json.load(f)
     return cam_from_camera_json(data, min_depth, max_depth, depth_num, interval_scale)
 

@@ -9,12 +9,14 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from mvsnet_tpu.io.filesystem import open_file
 
 
 def read_dmb(path):
-    with open(path, "rb") as f:
+    with open_file(path, "rb") as f:
         _image_type, height, width, channels = struct.unpack("<iiii", f.read(16))
-        data = np.fromfile(f, np.float32)
+        # frombuffer, not fromfile: works on remote/fsspec file objects too
+        data = np.frombuffer(f.read(), np.float32)
     data = data.reshape((width, height, channels), order="F")
     return np.transpose(data, (1, 0, 2)).squeeze()
 
@@ -27,6 +29,6 @@ def write_dmb(path, image) -> None:
     else:
         channels = 1
         data = image
-    with open(path, "wb") as f:
+    with open_file(path, "wb") as f:
         f.write(struct.pack("<iiii", 1, image.shape[0], image.shape[1], channels))
-        data.tofile(f)
+        f.write(np.ascontiguousarray(data).tobytes())

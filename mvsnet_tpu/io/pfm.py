@@ -11,11 +11,12 @@ import re
 import sys
 
 import numpy as np
+from mvsnet_tpu.io.filesystem import open_file
 
 
 def load_pfm(path_or_file):
     """Read a PFM file into (H, W) or (H, W, 3) float32 (top-down rows)."""
-    f = open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes)) else path_or_file
+    f = open_file(path_or_file, "rb") if isinstance(path_or_file, (str, bytes)) else path_or_file
     try:
         header = f.readline().decode("ascii").rstrip()
         if header == "PF":
@@ -57,7 +58,7 @@ def write_pfm(path, image, scale: float = 1.0) -> None:
     image = np.flipud(image)
     if image.dtype.byteorder == "<" or (image.dtype.byteorder == "=" and sys.byteorder == "little"):
         scale = -scale
-    with open(path, "wb") as f:
+    with open_file(path, "wb") as f:
         f.write(b"PF\n" if color else b"Pf\n")
         f.write(f"{image.shape[1]} {image.shape[0]}\n".encode("ascii"))
         f.write(f"{scale:f}\n".encode("ascii"))

@@ -9,6 +9,7 @@ directly, removing the GPU-binary dependency.
 from __future__ import annotations
 
 import numpy as np
+from mvsnet_tpu.io.filesystem import open_file
 
 
 def write_ply(path, points, colors=None, normals=None) -> None:
@@ -40,14 +41,14 @@ def write_ply(path, points, colors=None, normals=None) -> None:
         for c in range(arr.shape[1]):
             rec[f"f{i}"] = arr[:, c]
             i += 1
-    with open(path, "wb") as f:
+    with open_file(path, "wb") as f:
         f.write(header.encode("ascii"))
-        rec.tofile(f)
+        f.write(rec.tobytes())
 
 
 def read_ply(path):
     """Minimal reader for PLYs produced by write_ply (floats + uchar colors)."""
-    with open(path, "rb") as f:
+    with open_file(path, "rb") as f:
         fields = []
         n = 0
         while True:
@@ -59,7 +60,8 @@ def read_ply(path):
                 fields.append((name, {"float": "<f4", "uchar": "u1"}[typ]))
             elif line == "end_header":
                 break
-        rec = np.fromfile(f, dtype=fields, count=n)
+        rec = np.frombuffer(f.read(int(n) * np.dtype(fields).itemsize),
+                    dtype=fields, count=n)
     out = {name: rec[name] for name, _ in fields}
     points = np.stack([out["x"], out["y"], out["z"]], axis=1)
     colors = None
