@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--image_log_interval", type=int, default=0,
+                   help="every N steps render depth/confidence/residual "
+                        "maps to <model_dir>/train_vis and wandb "
+                        "(0 = off; reference: preprocess.py:198-266)")
     return p
 
 
@@ -159,6 +163,52 @@ class MetricsSink:
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in rec.items() if k != "time"},
                             step=step)
+
+    def log_images(self, step: int, images: dict):
+        """Mirror rendered arrays to wandb (reference logged depth/
+        confidence/residual renders, preprocess.py:198-266)."""
+        if self._wandb is not None:
+            self._wandb.log({k: self._wandb.Image(np.asarray(v))
+                             for k, v in images.items()}, step=step)
+
+
+def make_vis_writer(model, mcfg, model_dir, sink):
+    """Training-time image artifacts: every image-log interval, render the
+    current batch's depth / confidence / |residual| maps to
+    <model_dir>/train_vis/step_<N>/ and mirror them to wandb (reference:
+    preprocess.py:198-266, train.py:506-515)."""
+    from mvsnet_tpu.io import filesystem as fsio
+    from mvsnet_tpu.io import images as imio
+
+    fwd = {}
+
+    def write(state, batch, total_step):
+        if "fn" not in fwd:
+            method = (MVSNet.forward_gru_wta if mcfg.regularization == "GRU"
+                      else MVSNet.forward_3dcnn)
+
+            def f(variables, images, cams, ds, di):
+                return model.apply(variables, images, cams, ds, di,
+                                   method=method)
+
+            fwd["fn"] = jax.jit(f)
+        images_t, cams, gt_depth = batch[0], batch[1], batch[2]
+        ds, di, _ = train_lib.batch_depth_params(cams)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        depth, prob = fwd["fn"](variables, images_t, cams, ds, di)
+        depth = np.asarray(depth[0, ..., 0], np.float32)
+        prob = np.asarray(prob[0, ..., 0], np.float32)
+        gt = np.asarray(gt_depth[0, ..., 0], np.float32)
+        residual = np.abs(depth - gt) * (gt > 0)
+        outdir = fsio.join(model_dir, "train_vis", f"step_{total_step}")
+        fsio.makedirs(outdir)
+        imio.write_inverse_depth_png(fsio.join(outdir, "depth.png"), depth)
+        imio.write_confidence_png(fsio.join(outdir, "confidence.png"), prob)
+        imio.write_depth_png(fsio.join(outdir, "residual.png"), residual)
+        sink.log_images(total_step, {"depth": depth, "confidence": prob,
+                                     "residual": residual})
+
+    return write
 
 
 def make_loader(dcfg: DataConfig, tcfg: TrainConfig, mode: str, workers: int = 2):
@@ -277,6 +327,9 @@ def train(args) -> int:
             logger.info("VAL step %d: %s", total_step,
                         {k: round(v, 4) for k, v in avg.items()})
 
+    vis_writer = (make_vis_writer(model, mcfg, args.model_dir, metrics_sink)
+                  if args.image_log_interval else None)
+
     window = []
     t_step = time.time()
     for step, batch in enumerate(train_loader):
@@ -314,6 +367,12 @@ def train(args) -> int:
                                  mcfg.network_mode, total_step, state)
         if has_val and step > 0 and step % int(tcfg.train_steps_per_val) == 0:
             run_validation(state, total_step)
+        if vis_writer is not None and step % args.image_log_interval == 0:
+            try:
+                vis_writer(state, batch, total_step)
+            except Exception as e:  # visualization must never kill training
+                logger.warning("image logging failed at step %d: %s",
+                               total_step, e)
 
     ckpt.save_checkpoint(args.model_dir, mcfg.regularization, mcfg.network_mode,
                          total_step, state)

@@ -120,3 +120,40 @@ def test_covisibility_from_demon(tmp_path):
         covis = json.load(f)
     assert covis["0"]["views"] == [1, 2, 3]
     assert covis["3"]["views"] == [0, 1, 2]
+
+
+def test_hp_search_bayes_beats_random_on_quadratic():
+    """GP-EI converges near the optimum of a smooth objective within the
+    same budget (reference parity: ML-Engine Bayesian tuning,
+    machines/1p100_hptuning.yaml)."""
+    import hp_search
+    import random
+    space = {"params": [
+        {"name": "x", "type": "double", "min": 0.0, "max": 1.0, "scale": "linear"},
+        {"name": "y", "type": "double", "min": 0.0, "max": 1.0, "scale": "linear"},
+    ], "objective": {"metric": "score", "goal": "maximize"}}
+
+    def objective(_t, params):
+        return -((params["x"] - 0.3) ** 2 + (params["y"] - 0.7) ** 2)
+
+    res = hp_search.run_search(space, 16, objective, random.Random(0),
+                               strategy="bayes", init_trials=4)
+    best = res[0]
+    assert best["score"] > -0.01, best
+    assert abs(best["params"]["x"] - 0.3) < 0.12
+    assert abs(best["params"]["y"] - 0.7) < 0.12
+
+
+def test_hp_search_handles_failed_trials():
+    import hp_search
+    import random
+    space = {"params": [
+        {"name": "x", "type": "double", "min": 0.0, "max": 1.0, "scale": "linear"},
+    ], "objective": {"metric": "score", "goal": "maximize"}}
+
+    def objective(t, params):
+        return None if t % 2 == 0 else -(params["x"] - 0.5) ** 2
+
+    res = hp_search.run_search(space, 8, objective, random.Random(1),
+                               strategy="bayes", init_trials=2)
+    assert res[0]["score"] is not None

@@ -164,3 +164,26 @@ def test_cli_multidevice(tmp_path):
     with open(os.path.join(model_dir, "metrics.jsonl")) as f:
         recs = [json.loads(l) for l in f if l.strip()]
     assert recs and all(np.isfinite(r["loss"]) for r in recs if "loss" in r)
+
+
+def test_cli_image_logging(tmp_path):
+    """--image_log_interval writes depth/confidence/residual renders
+    (reference training artifacts, preprocess.py:198-266)."""
+    from mvsnet_tpu.train import main
+    root = str(tmp_path / "data")
+    make_dataset(root, n_sessions=1, split="train", n_images=3)
+    model_dir = str(tmp_path / "models")
+    rc = main([
+        "--train_data_root", root, "--model_dir", model_dir,
+        "--view_num", "3", "--max_d", "8", "--width", "64", "--height", "64",
+        "--base_image_size", "32", "--network_mode", "ultralite",
+        "--compute_dtype", "float32", "--epoch", "1", "--max_steps_per_epoch", "2",
+        "--optimizer", "adam", "--loss_type", "original", "--grad_loss", "false",
+        "--num_devices", "1", "--snapshot", "1000", "--image_log_interval", "1",
+    ])
+    assert rc == 0
+    import glob
+    vis_dirs = sorted(glob.glob(os.path.join(model_dir, "train_vis", "step_*")))
+    assert vis_dirs, "no train_vis artifacts written"
+    for name in ("depth.png", "confidence.png", "residual.png"):
+        assert os.path.exists(os.path.join(vis_dirs[0], name)), name
