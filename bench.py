@@ -1,33 +1,89 @@
-"""Benchmark: MVSNet 3D-CNN depth-map inference throughput on one chip.
+"""Benchmark: MVSNet depth-map throughput on one chip.
 
-Operating point = the reference's 3DCNN test configuration: 1152x864 input,
+Default metric = the reference's 3DCNN test operating point: 1152x864,
 max_d=192, interval_scale=1.06, view_num=3 (README.md:124-125; the
 reference ran this on a GTX 1080Ti).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
+Select other operating points with --metric (or the BENCH_METRIC env var):
+  3dcnn  — headline inference throughput (default)
+  gru    — R-MVSNet GRU winner-take-all at 1600x1184, max_d=256 (README.md:126-127)
+  train  — fwd+bwd step at the reference training default (640x480, D192, lite)
+
 vs_baseline: the reference repo publishes no throughput numbers
 (BASELINE.md); the upstream R-MVSNet paper (cited at README.md:83-99)
-reports ~4.7 s per depth map for MVSNet at this operating point on a GTX
-1080Ti, i.e. ~0.213 maps/s — used here as the baseline denominator.
+reports ~4.7 s/map for MVSNet and ~9.1 s/map for R-MVSNet at these
+operating points on a GTX 1080Ti — used as baseline denominators. The
+train metric has no published baseline (vs_baseline = 0).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
-import jax.numpy as jnp
 
-BASELINE_MAPS_PER_SEC = 1.0 / 4.7
+BASELINE_3DCNN_MAPS_PER_SEC = 1.0 / 4.7
+BASELINE_GRU_MAPS_PER_SEC = 1.0 / 9.1
 
 
-def main() -> int:
+def make_rig(view_num, width, height, depth_start, depth_interval, max_d,
+             yaw_deg=4.0, roll_deg=1.0, baseline=60.0):
+    """Realistic ring rig (rotations + mm baselines): exercises real warp
+    bands instead of the identity homographies an all-same-cam rig gives."""
+    f = width * 1.2
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]])
+    cams = np.zeros((1, view_num, 2, 4, 4), np.float32)
+    for v in range(view_num):
+        yaw = np.deg2rad(yaw_deg) * v
+        roll = np.deg2rad(roll_deg) * v
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cr, sr = np.cos(roll), np.sin(roll)
+        R = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]]) @ \
+            np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        E = np.eye(4)
+        E[:3, :3] = R
+        E[0, 3] = baseline * v
+        E[1, 3] = 0.3 * baseline * v
+        cams[0, v, 0] = E
+        cams[0, v, 1, :3, :3] = K
+        cams[0, v, 1, 3] = [depth_start, depth_interval, max_d,
+                            depth_start + (max_d - 1) * depth_interval]
+    return cams
+
+
+def timed_loop(fn, iters):
+    """Differencing harness: N calls inside one fori_loop, two loop lengths
+    differenced — cancels the 30ms-1.2s variable per-fetch tunnel latency
+    and the async-dispatch pitfalls of this remote backend."""
+    import functools
     import jax
+    import jax.numpy as jnp
 
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(n):
+        def body(_, carry):
+            return fn(carry)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    float(loop(1))
+    float(loop(1 + iters))
+    t0 = time.perf_counter()
+    float(loop(1))
+    t1 = time.perf_counter()
+    float(loop(1 + iters))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / iters
+
+
+def bench_3dcnn():
+    import jax
+    import jax.numpy as jnp
     from mvsnet_tpu.config import ModelConfig
     from mvsnet_tpu.models import MVSNet
 
@@ -36,62 +92,114 @@ def main() -> int:
                       interval_scale=1.06, network_mode="normal",
                       compute_dtype="bfloat16", depth_chunk=32)
     model = MVSNet(cfg)
-
     rng = np.random.default_rng(0)
     images = rng.standard_normal((1, view_num, height, width, 3)).astype(np.float32)
-    K = np.array([[width * 1.2 / 4, 0, width / 8],
-                  [0, width * 1.2 / 4, height / 8], [0, 0, 1]])
-    cam = np.zeros((2, 4, 4))
-    cam[0] = np.eye(4)
-    cam[0, 0, 3] = 40.0
     depth_start, depth_interval = 425.0, 2.5 * 1.06
-    cam[1, :3, :3] = K
-    cam[1, 3] = [depth_start, depth_interval, max_d,
-                 depth_start + (max_d - 1) * depth_interval]
-    cams = np.broadcast_to(cam, (1, view_num, 2, 4, 4)).astype(np.float32).copy()
-    ds = cams[:, 0, 1, 3, 0]
-    di = cams[:, 0, 1, 3, 1]
-
-    variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+    cams = make_rig(view_num, width, height, depth_start, depth_interval, max_d)
+    # features live at 1/4 res; the data plane scales cams by output_scale
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :3, :3] *= 0.25
+    cams_s[:, :, 1, 2, 2] = 1.0
+    ds = cams_s[:, 0, 1, 3, 0]
+    di = cams_s[:, 0, 1, 3, 1]
+    variables = model.init(jax.random.PRNGKey(0), images, cams_s, ds, di,
                            training=False, method=MVSNet.forward_3dcnn)
 
-    # Timing on this backend must account for (a) async dispatch —
-    # block_until_ready can return before remote work finishes, so a scalar
-    # checksum is fetched — and (b) large, VARIABLE per-fetch tunnel latency.
-    # Both cancel by running N forwards inside one fori_loop (serialized via
-    # a tiny data dependence) and differencing two loop lengths.
-    import functools
+    def step(carry):
+        depth, prob = model.apply(variables, images + carry * 1e-30,
+                                  cams_s, ds, di, training=False,
+                                  method=MVSNet.forward_3dcnn)
+        return (jnp.sum(depth) + jnp.sum(prob)).astype(jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def forward_n(variables, images, cams, ds, di, n):
-        def body(_, carry):
-            # carry*1e-30 keeps a loop-carried dependence without changing
-            # values; prevents XLA from hoisting the loop-invariant forward.
-            depth, prob = model.apply(variables, images + carry * 1e-30,
-                                      cams, ds, di, training=False,
-                                      method=MVSNet.forward_3dcnn)
-            return jnp.sum(depth) + jnp.sum(prob)
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+    dt = timed_loop(step, iters=5)
+    return {"metric": "depth_maps_per_sec_1152x864_d192_3dcnn",
+            "value": round(1.0 / dt, 4), "unit": "maps/s",
+            "vs_baseline": round((1.0 / dt) / BASELINE_3DCNN_MAPS_PER_SEC, 3)}
 
-    iters = 5
-    # warmup / compile both loop lengths
-    float(forward_n(variables, images, cams, ds, di, 1))
-    float(forward_n(variables, images, cams, ds, di, 1 + iters))
 
-    t0 = time.perf_counter()
-    float(forward_n(variables, images, cams, ds, di, 1))
-    t1 = time.perf_counter()
-    float(forward_n(variables, images, cams, ds, di, 1 + iters))
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / iters
+def bench_gru():
+    import jax
+    import jax.numpy as jnp
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
 
-    maps_per_sec = 1.0 / dt
-    print(json.dumps({
-        "metric": "depth_maps_per_sec_1152x864_d192_3dcnn",
-        "value": round(maps_per_sec, 4),
-        "unit": "maps/s",
-        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
-    }))
+    # 1600x1200 rounds to 1600x1184 (H, W divisible by 32)
+    height, width, max_d, view_num = 1184, 1600, 256, 3
+    cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width, height=height,
+                      interval_scale=0.8, network_mode="normal",
+                      regularization="GRU", compute_dtype="bfloat16")
+    model = MVSNet(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((1, view_num, height, width, 3)).astype(np.float32)
+    depth_start, depth_interval = 425.0, 2.5 * 0.8
+    cams = make_rig(view_num, width, height, depth_start, depth_interval, max_d)
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :3, :3] *= 0.25
+    cams_s[:, :, 1, 2, 2] = 1.0
+    ds = cams_s[:, 0, 1, 3, 0]
+    di = cams_s[:, 0, 1, 3, 1]
+    variables = model.init(jax.random.PRNGKey(0), images, cams_s, ds, di,
+                           method=MVSNet.forward_gru_wta)
+
+    def step(carry):
+        depth, prob = model.apply(variables, images + carry * 1e-30,
+                                  cams_s, ds, di,
+                                  method=MVSNet.forward_gru_wta)
+        return (jnp.sum(depth) + jnp.sum(prob)).astype(jnp.float32)
+
+    dt = timed_loop(step, iters=3)
+    return {"metric": "depth_maps_per_sec_1600x1184_d256_gru_wta",
+            "value": round(1.0 / dt, 4), "unit": "maps/s",
+            "vs_baseline": round((1.0 / dt) / BASELINE_GRU_MAPS_PER_SEC, 3)}
+
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.models import MVSNet
+
+    height, width, max_d, view_num = 480, 640, 192, 3
+    cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width, height=height,
+                      network_mode="lite", compute_dtype="bfloat16",
+                      depth_chunk=16)
+    tcfg = TrainConfig(loss_type="power", grad_loss=True)
+    model = MVSNet(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((1, view_num, height, width, 3)).astype(np.float32)
+    depth_start, depth_interval = 425.0, 2.5
+    cams = make_rig(view_num, width, height, depth_start, depth_interval, max_d)
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :3, :3] *= 0.25
+    cams_s[:, :, 1, 2, 2] = 1.0
+    h, w = height // 4, width // 4
+    gt = rng.uniform(depth_start, depth_start + 190 * depth_interval,
+                     (1, h, w, 1)).astype(np.float32)
+    gt_full = rng.uniform(depth_start, depth_start + 190 * depth_interval,
+                          (1, height, width, 1)).astype(np.float32)
+    batch = (images, cams_s, gt, gt_full)
+    state = train_lib.create_train_state(model, cfg, tcfg,
+                                         jax.random.PRNGKey(0), batch)
+    step_fn = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+
+    # jit-of-jit: wrap state update so the loop carries only a scalar
+    def step(carry):
+        b = (images + carry * 1e-30,) + batch[1:]
+        _, metrics = step_fn(state, b)
+        return metrics["loss"].astype(jnp.float32)
+
+    dt = timed_loop(step, iters=3)
+    return {"metric": "train_step_sec_640x480_d192_lite",
+            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0}
+
+
+def main() -> int:
+    metric = os.environ.get("BENCH_METRIC", "3dcnn")
+    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
+        metric = sys.argv[2]
+    result = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]()
+    print(json.dumps(result))
     return 0
 
 

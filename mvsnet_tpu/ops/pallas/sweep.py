@@ -56,8 +56,15 @@ from mvsnet_tpu.ops.warp import projected_coords
 ROWS_PER_CELL = 8
 BAND = 8
 
-_PARALLEL2 = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
-_ARBITRARY2 = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
+# v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
+# limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep
+# ALL source view maps resident (V=5 at the 1152x864 point is ~26 MiB
+# double-buffered) instead of falling back at V>=4.
+_VMEM_LIMIT = 100 * 2 ** 20
+_PARALLEL2 = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"),
+                                  vmem_limit_bytes=_VMEM_LIMIT)
+_ARBITRARY2 = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"),
+                                   vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _precision_for(src_dtype):
@@ -142,8 +149,8 @@ def _sweep_kernel(x_ref, yt_ref, src_ref, out_ref):
     out_ref: (1, ROWS, W, C) warped output rows.
     """
     H, W, C = src_ref.shape
-    iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
-    iota_b = jax.lax.broadcasted_iota(jnp.float32, (W, BAND), 1)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, BAND), 1).astype(jnp.float32)
     band_cat = _make_band_cat(
         lambda r: src_ref[pl.ds(r, 1), :, :].reshape(W, C), W, C)
 
@@ -171,8 +178,8 @@ def _make_cost_kernel(view_count_minus_1: int):
         H = views_ref.shape[1]
         view_num = view_count_minus_1 + 1
         rb = pl.program_id(1)
-        iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
-        iota_b = jax.lax.broadcasted_iota(jnp.float32, (W, BAND), 1)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, BAND), 1).astype(jnp.float32)
 
         for y in range(ROWS_PER_CELL):
             ref_row = ref_ref[pl.ds(rb * ROWS_PER_CELL + y, 1), :, :]
@@ -186,7 +193,7 @@ def _make_cost_kernel(view_count_minus_1: int):
                     W, C)
                 warped = _warp_row(band_cat, x_ref[v, 0, y:y + 1, :],
                                    yt_ref[v, 0, 0, :, y:y + 1], iota_j,
-                                   iota_b, H, W, C, ref_ref.dtype)
+                                   iota_b, H, W, C, views_ref.dtype)
                 s = s + warped
                 s2 = s2 + warped * warped
 
@@ -200,24 +207,26 @@ def _make_cost_kernel(view_count_minus_1: int):
 def pallas_sweep_supported(height: int, width: int, channels: int,
                            dtype=jnp.bfloat16) -> bool:
     """Whether the kernel's VMEM-residency / tiling assumptions hold."""
-    src_bytes = height * width * channels * jnp.dtype(dtype).itemsize
-    onehot_bytes = width * width * 4 * 2
-    out_bytes = ROWS_PER_CELL * width * channels * 4
-    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 12 * 2 ** 20
+    # x2: Mosaic may double-buffer blocks even with constant index maps
+    src_bytes = 2 * height * width * channels * jnp.dtype(dtype).itemsize
+    work_bytes = width * width * 4 * 4 + 8 * ROWS_PER_CELL * width * channels * 4
+    budget = _VMEM_LIMIT - 8 * 2 ** 20
     return (height % ROWS_PER_CELL == 0
             and height >= BAND
             and width % 8 == 0
-            and src_bytes + onehot_bytes + out_bytes < budget)
+            and src_bytes + work_bytes < budget)
 
 
 def pallas_cost_supported(height: int, width: int, channels: int,
                           view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
-    src_bytes = (view_count_minus_1 + 1) * height * width * channels * jnp.dtype(dtype).itemsize
-    work_bytes = width * width * 4 * 2 + 3 * ROWS_PER_CELL * width * channels * 4
-    # 14 MiB: V=3 at the 1152x864 operating point (12.9 MiB) measured to fit
-    # alongside the double-buffered blocks; V>=4 falls back to the per-view
-    # warp kernel (one source map resident at a time).
-    budget = 100 * 2 ** 20 if jax.default_backend() == "cpu" else 14 * 2 ** 20
+    # x2: Mosaic may double-buffer blocks even with constant index maps
+    # (the r2 1152x864 V=3 compile demanded 32.1 MiB for ~12.9 MiB of
+    # blocks). With the 100 MiB scoped-vmem limit the fused kernel also
+    # takes V=4/5 (the benchmark driver's default view_num=4, test.py:34).
+    src_bytes = 2 * (view_count_minus_1 + 1) * height * width * channels \
+        * jnp.dtype(dtype).itemsize
+    work_bytes = width * width * 4 * 4 + 8 * ROWS_PER_CELL * width * channels * 4
+    budget = _VMEM_LIMIT - 8 * 2 ** 20
     return (height % ROWS_PER_CELL == 0
             and height >= BAND
             and width % 8 == 0
@@ -306,8 +315,8 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
-    iota_b = jax.lax.broadcasted_iota(jnp.float32, (W, BAND), 1)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(jnp.float32)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (W, BAND), 1).astype(jnp.float32)
 
     for y in range(ROWS_PER_CELL):
         xrow = x_ref[0, y:y + 1, :]

@@ -68,7 +68,10 @@ def timed(fn, *args, iters=8):
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(n, *a):
         def body(_, carry):
-            out = fn(*((a[0] + carry * 1e-30,) + a[1:]))
+            # keep the perturbed operand's dtype (f32 promotion would
+            # change the kernels under test)
+            perturbed = (a[0] + carry * 1e-30).astype(a[0].dtype)
+            out = fn(*((perturbed,) + a[1:]))
             return jnp.sum(out).astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
@@ -119,8 +122,11 @@ def main():
     homs_b0 = homs[:, 0]                                   # (V-1, D, 3, 3)
 
     # numerics vs XLA gather path — error reduced ON-device (the full
-    # volumes are ~1.5 GB each; fetching them through the tunnel stalls)
+    # volumes are ~1.5 GB each; fetching them through the tunnel stalls,
+    # and holding pallas+XLA volumes plus gather temporaries OOMs HBM at
+    # full D, so the check runs on a depth subset at full spatial size)
     import jax as _jax
+    Dc = min(D, 48)
 
     @_jax.jit
     def check(ref, views, homs):
@@ -131,9 +137,10 @@ def main():
         d = jnp.abs(got - want)
         return jnp.max(d), jnp.max(jnp.abs(want))
 
-    err, scale = check(ref, views, homs)
+    err, scale = check(ref, views, homs[:, :, :Dc])
     err, scale = float(err), float(scale)
-    print(f"fused-kernel max abs err vs XLA: {err:.3e} (rel {err / max(scale, 1e-9):.3e})")
+    print(f"fused-kernel max abs err vs XLA (D={Dc}): "
+          f"{err:.3e} (rel {err / max(scale, 1e-9):.3e})")
 
     dt_fused = timed(lambda r, v, h: pallas_sweep_cost_volume(r, v, h),
                      ref, views, homs_b0)
