@@ -28,18 +28,30 @@ weight into the one-hot matrix and walked a *dynamic* band with one
 pipeline-stalling data-dependent loop; this layout removed both.
 
 rbase = clamp(min floor(y_src), 0, H-BAND) covers the whole row's vertical
-taps whenever the in-row shear is < BAND-1 (always, for plane-sweep
-homographies of real camera pairs). A data-dependent fori_loop adds
-further BAND-row blocks only when the shear exceeds that — zero
-iterations in practice, so it costs one branch.
+taps whenever the in-row shear is < BAND-1; a data-dependent fori_loop
+adds further masked BAND-row blocks for rows that shear more. Realistic
+rigs DO exceed BAND=8 routinely (the 3DCNN bench rig reaches in-row spans
+of 22 with mean 9), so the extra blocks are a real cost — about +60%
+matmuls at that operating point — not a cold path.
 
-The one-hot index j lives on SUBLANES and the output pixel x on LANES
-so all shapes satisfy Mosaic's (8,128)-divisible-or-full constraint; the
-y coordinates are fed pre-transposed (W on sublanes) so the vertical tent
-needs no in-kernel vector transpose.
+Two fused cost kernels implement this decomposition:
 
-Grid: (D, h/ROWS_PER_CELL); the source block's index map is constant so
-Pallas keeps it in VMEM across the whole sweep (fetched once).
+  * the slab-table kernel (_make_cost_kernel_preload, Vm1 <= 2): source
+    views are pre-concatenated XLA-side into (H, W, BAND*C) tables,
+    preloaded once into persistent VMEM scratch by a single DMA; the
+    matmul outputs (BAND*C, x) so the vertical combine is sublane-aligned;
+    band starts come precomputed via SMEM. Measured (v5e, 216x288x32,
+    D=192, V=3, bf16): 94.7 ms realistic rig / 58.9 ms trivial rig.
+  * the block-resident kernel (_make_cost_kernel, higher V or huge H*W):
+    whole source maps live in VMEM blocks and each band is assembled by
+    an 8-way lane-concat, with the matmul outputting (x, BAND*C) and a
+    lane-sliced combine. Slower (242.8/170.9 ms at the same point) but
+    needs only the raw feature maps resident.
+
+In both, the one-hot index j lives on SUBLANES and all shapes satisfy
+Mosaic's (8,128)-divisible-or-full constraint.
+
+Grid: (D, h/ROWS_PER_CELL).
 """
 
 from __future__ import annotations
@@ -204,6 +216,211 @@ def _make_cost_kernel(view_count_minus_1: int):
     return kernel
 
 
+def _band_table(y, H):
+    """Vectorized _band_starts over leading dims.
+
+    y: (..., H, W) f32 source y coordinates.
+    Returns (rbase, nextra): (..., H) int32 each.
+    """
+    r0f = jnp.floor(y)
+    rlo = jnp.clip(jnp.min(r0f, axis=-1), 0.0, float(H - 1))
+    rhi = jnp.clip(jnp.max(r0f, axis=-1) + 1.0, 0.0, float(H - 1))
+    rbase = jnp.minimum(rlo.astype(jnp.int32), H - BAND)
+    nextra = (rhi.astype(jnp.int32) - rbase) // BAND
+    return rbase, nextra
+
+
+def _band_cats(src):
+    """(H, W, C) -> (H, W, BAND*C) band-concatenated slab table.
+
+    cats[h][j, r*C + c] = src[h + r, j, c] (zero past the bottom edge), so
+    the kernel's horizontal matmul operand for any band start is ONE
+    contiguous dynamic row of this table — no in-kernel concat/relayout.
+    """
+    H, W, C = src.shape
+    pad = jnp.pad(src, ((0, BAND - 1), (0, 0), (0, 0)))
+    sh = jnp.stack([pad[r:r + H] for r in range(BAND)], axis=2)  # (H,W,BAND,C)
+    return sh.reshape(H, W, BAND * C)
+
+
+def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
+    """Fused warp+variance kernel, slab-table edition.
+
+    Differences from _make_cost_kernel (the round-2a layout):
+      * The horizontal matmul outputs (BAND*C, x) instead of (x, BAND*C):
+        the vertical-tent combine becomes 8 SUBLANE-aligned (C, W) adds
+        instead of 8 lane-slices at non-lane-aligned 32-element offsets
+        (each of which cost a cross-lane shuffle of the whole product).
+      * Source views are pre-concatenated into (H, W, BAND*C) slab tables
+        (XLA-side, _band_cats) and preloaded ONCE into a persistent VMEM
+        scratch by a single DMA at grid cell (0,0); a band of any start is
+        then one dynamic-index read. Round 2a instead rebuilt each band
+        with an 8-way lane-concat per (row, view) — 16+ relayouts per cell.
+      * Band starts/extra-block counts come precomputed from SMEM
+        (XLA-side _band_table) instead of in-kernel vector min/max
+        reductions.
+      * Outputs are (C, W)-transposed; the wrapper transposes back (a
+        cheap HBM-bandwidth pass in XLA).
+
+    Vertical spans beyond BAND (realistic rigs reach span 22 at the
+    3DCNN point) cost extra slab reads + matmuls only for the rows that
+    need them — no DMA, no pipeline restructuring.
+    """
+    view_num = view_count_minus_1 + 1
+
+    def kernel(x_ref, y_ref, rb_ref, ne_ref, reft_ref, cats_hbm,
+               out_ref, cats_vmem, sem):
+        # x/y: (Vm1, 1, ROWS, W) f32; rb/ne: (Vm1, 1, 1, 1, ROWS) i32 in
+        # SMEM (the two unit dims satisfy Mosaic's full-or-divisible block
+        # constraint on the trailing dims);
+        # reft: (ROWS, C, W); cats_hbm: (Vm1, H, W, BAND*C) in ANY;
+        # out: (1, ROWS, C, W); cats_vmem: persistent VMEM scratch.
+        W = x_ref.shape[3]
+        C = reft_ref.shape[1]
+        src_dtype = cats_vmem.dtype
+        precision = _precision_for(src_dtype)
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            dma = pltpu.make_async_copy(cats_hbm, cats_vmem, sem)
+            dma.start()
+            dma.wait()
+
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        iota_j = iota_j.astype(jnp.float32)
+        sub_r = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, W), 0) // C
+        sub_r = sub_r.astype(jnp.float32)                    # (BAND*C, W)
+
+        for y in range(ROWS_PER_CELL):
+            s = None
+            s2 = None
+            for v in range(view_count_minus_1):
+                xrow = x_ref[v, 0, y:y + 1, :].reshape(1, W)
+                yrow = y_ref[v, 0, y:y + 1, :].reshape(1, W)
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_j - xrow))
+                wx = wx.astype(src_dtype)                    # (j, x)
+                rbase = rb_ref[v, 0, 0, 0, y]
+                nex = ne_ref[v, 0, 0, 0, y]
+
+                def block(start, masked, wx=wx, yrow=yrow, v=v):
+                    slab = cats_vmem[v, pl.ds(start, 1)].reshape(W, BAND * C)
+                    hw = jax.lax.dot_general(
+                        slab, wx, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)                 # (BAND*C, x)
+                    rows = start.astype(jnp.float32) + sub_r
+                    rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow))
+                    if masked is not None:
+                        lo, hi = masked
+                        keep = ((rows >= lo.astype(jnp.float32))
+                                & (rows <= hi.astype(jnp.float32)))
+                        rw = jnp.where(keep, rw, 0.0)
+                    prod = hw * rw
+                    acc = prod[0:C, :]
+                    for r in range(1, BAND):
+                        acc = acc + prod[r * C:(r + 1) * C, :]
+                    return acc                               # (C, W)
+
+                warped = block(rbase, None)
+
+                def extra(k, a, rbase=rbase, block=block):
+                    lo = rbase + k * BAND
+                    start = jnp.minimum(lo, H - BAND)
+                    return a + block(start, (lo, lo + (BAND - 1)))
+
+                warped = jax.lax.fori_loop(1, nex + 1, extra, warped)
+                if s is None:
+                    s, s2 = warped, warped * warped
+                else:
+                    s = s + warped
+                    s2 = s2 + warped * warped
+
+            ref_row = reft_ref[y].astype(jnp.float32)        # (C, W)
+            s = s + ref_row
+            s2 = s2 + ref_row * ref_row
+            mean = s / view_num
+            cost = s2 / view_num - mean * mean
+            out_ref[0, y] = cost.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _preload_cost_supported(height, width, channels, view_count_minus_1,
+                            dtype=jnp.bfloat16) -> bool:
+    """VMEM model of the slab-table kernel: one persistent single-buffered
+    scratch of all views' (H, W, BAND*C) tables + small streamed blocks."""
+    item = jnp.dtype(dtype).itemsize
+    scratch = view_count_minus_1 * height * width * BAND * channels * item
+    work = (width * width * 4 * 2                    # iota_j + wx
+            + 3 * BAND * channels * width * 4        # sub_r, rw, prod
+            + 4 * ROWS_PER_CELL * width * 4 * 2      # x/y blocks (dbuf)
+            + 4 * ROWS_PER_CELL * channels * width * 4)  # reft + out blocks
+    budget = _VMEM_LIMIT - 8 * 2 ** 20
+    return (height % ROWS_PER_CELL == 0
+            and height >= BAND
+            and width % 8 == 0
+            and scratch + work < budget)
+
+
+def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
+                                interpret: bool = False):
+    """Slab-table fused cost volume (the Vm1<=2 fast path)."""
+    H, W, C = ref_feature.shape
+    Vm1, D = homographies.shape[:2]
+    assert H % ROWS_PER_CELL == 0 and H >= BAND
+
+    def coords(h):                                   # (D, 3, 3)
+        x, y = projected_coords(h, H, W)
+        return x.reshape(D, H, W), y.reshape(D, H, W)
+
+    x, y = jax.vmap(coords)(homographies)            # (Vm1, D, H, W) f32
+    rbase, nextra = _band_table(y, H)                # (Vm1, D, H) i32
+    rows_blocks = H // ROWS_PER_CELL
+    rbase = rbase.reshape(Vm1, D, rows_blocks, 1, ROWS_PER_CELL)
+    nextra = nextra.reshape(Vm1, D, rows_blocks, 1, ROWS_PER_CELL)
+    cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
+    reft = jnp.transpose(ref_feature, (0, 2, 1))     # (H, C, W)
+
+    grid = (D, H // ROWS_PER_CELL)
+    out = pl.pallas_call(
+        _make_cost_kernel_preload(Vm1, H),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, 1, 1, ROWS_PER_CELL),
+                         lambda d, rb: (0, d, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Vm1, 1, 1, 1, ROWS_PER_CELL),
+                         lambda d, rb: (0, d, rb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS_PER_CELL, C, W), lambda d, rb: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, C, W),
+                               lambda d, rb: (d, rb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, C, W), ref_feature.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Vm1, H, W, BAND * C), view_features.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=_ARBITRARY2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * H * W * W * BAND * C * Vm1,
+            bytes_accessed=(D * H * W * C * ref_feature.dtype.itemsize
+                            + Vm1 * H * W * BAND * C
+                            * view_features.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(x, y, rbase, nextra, reft, cats)
+    return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, H, W, C)
+
+
 def pallas_sweep_supported(height: int, width: int, channels: int,
                            dtype=jnp.bfloat16) -> bool:
     """Whether the kernel's VMEM-residency / tiling assumptions hold."""
@@ -217,8 +434,9 @@ def pallas_sweep_supported(height: int, width: int, channels: int,
             and src_bytes + work_bytes < budget)
 
 
-def pallas_cost_supported(height: int, width: int, channels: int,
-                          view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
+def _blockres_cost_supported(height: int, width: int, channels: int,
+                             view_count_minus_1: int,
+                             dtype=jnp.bfloat16) -> bool:
     # x2: Mosaic may double-buffer blocks even with constant index maps
     # (the r2 1152x864 V=3 compile demanded 32.1 MiB for ~12.9 MiB of
     # blocks). With the 100 MiB scoped-vmem limit the fused kernel also
@@ -231,6 +449,16 @@ def pallas_cost_supported(height: int, width: int, channels: int,
             and height >= BAND
             and width % 8 == 0
             and src_bytes + work_bytes < budget)
+
+
+def pallas_cost_supported(height: int, width: int, channels: int,
+                          view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
+    """Whether SOME fused cost kernel (slab-table or block-resident) fits."""
+    if view_count_minus_1 <= 2 and _preload_cost_supported(
+            height, width, channels, view_count_minus_1, dtype):
+        return True
+    return _blockres_cost_supported(height, width, channels,
+                                    view_count_minus_1, dtype)
 
 
 def _coords_by_cell(homographies, H, W):
@@ -412,11 +640,27 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
                              interpret: bool = False):
     """Fused variance cost volume for one batch element.
 
+    Dispatches to the slab-table preload kernel (Vm1<=2, the common and
+    headline operating points) or the block-resident kernel (higher V).
+
     Args:
       ref_feature: (H, W, C); view_features: (V-1, H, W, C);
       homographies: (V-1, D, 3, 3).
     Returns (D, H, W, C) cost in ref_feature.dtype.
     """
+    H, W, C = ref_feature.shape
+    Vm1 = homographies.shape[0]
+    if Vm1 <= 2 and _preload_cost_supported(H, W, C, Vm1,
+                                            view_features.dtype):
+        return _pallas_cost_volume_preload(ref_feature, view_features,
+                                           homographies, interpret=interpret)
+    return _pallas_cost_volume_blockres(ref_feature, view_features,
+                                        homographies, interpret=interpret)
+
+
+def _pallas_cost_volume_blockres(ref_feature, view_features, homographies,
+                                 interpret: bool = False):
+    """Block-resident fused cost volume (round-2a layout; higher-V path)."""
     H, W, C = ref_feature.shape
     Vm1, D = homographies.shape[:2]
     assert H % ROWS_PER_CELL == 0

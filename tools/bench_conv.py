@@ -1,0 +1,159 @@
+"""Layout experiments for the small-channel conv stages on the real chip.
+
+The UNetDS2GN feature tower (models/feature_net.py) spends most of its
+time in 8-16 channel convs at full 864x1152 resolution; RegNetUS0 in
+8-64 channel 3D convs. With NHWC those channel counts waste most of the
+128 MXU/VPU lanes. This tool times representative conv(+GN) stacks under
+different layouts/dtypes to pick the production lowering.
+
+Usage: PYTHONPATH=$PYTHONPATH:. python tools/bench_conv.py [--case CASE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(n, *a):
+        def body(_, carry):
+            perturbed = (a[0] + carry * 1e-30).astype(a[0].dtype)
+            out = fn(*((perturbed,) + a[1:]))
+            return jnp.sum(out).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    float(loop(1, *args))
+    float(loop(1 + iters, *args))
+    t0 = time.perf_counter()
+    float(loop(1, *args))
+    t1 = time.perf_counter()
+    float(loop(1 + iters, *args))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / iters
+
+
+def gn(x, G, eps=1e-5, channel_axis=-1):
+    import jax
+    import jax.numpy as jnp
+    xf = x.astype(jnp.float32)
+    if channel_axis == -1:
+        N = xf.shape[0]
+        C = xf.shape[-1]
+        spatial = xf.shape[1:-1]
+        xg = xf.reshape(N, *spatial, G, C // G)
+        axes = tuple(range(1, 1 + len(spatial))) + (xf.ndim,)
+    else:  # channel axis 1 (NCHW)
+        N, C = xf.shape[:2]
+        spatial = xf.shape[2:]
+        xg = xf.reshape(N, G, C // G, *spatial)
+        axes = (2,) + tuple(range(3, 3 + len(spatial)))
+    m = xg.mean(axis=axes, keepdims=True)
+    v = xg.var(axis=axes, keepdims=True)
+    xg = (xg - m) * jax.lax.rsqrt(v + eps)
+    return xg.reshape(x.shape).astype(x.dtype)
+
+
+def stack_nhwc(x, ws):
+    """conv3x3(3->8) GN relu, conv3x3(8->8) GN relu, conv5x5s2(8->16) GN."""
+    import jax
+    import jax.numpy as jnp
+    dn = jax.lax.conv_dimension_numbers(x.shape, ws[0].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, ws[0], (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = jax.nn.relu(gn(y, 1))
+    dn = jax.lax.conv_dimension_numbers(y.shape, ws[1].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(y, ws[1], (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = jax.nn.relu(gn(y, 1))
+    dn = jax.lax.conv_dimension_numbers(y.shape, ws[2].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(y, ws[2], (2, 2), "SAME",
+                                     dimension_numbers=dn)
+    return jax.nn.relu(gn(y, 2))
+
+
+def stack_nchw(x, ws):
+    import jax
+    import jax.numpy as jnp
+    dn = jax.lax.conv_dimension_numbers(x.shape, ws[0].shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(x, ws[0], (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = jax.nn.relu(gn(y, 1, channel_axis=1))
+    dn = jax.lax.conv_dimension_numbers(y.shape, ws[1].shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(y, ws[1], (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = jax.nn.relu(gn(y, 1, channel_axis=1))
+    dn = jax.lax.conv_dimension_numbers(y.shape, ws[2].shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    y = jax.lax.conv_general_dilated(y, ws[2], (2, 2), "SAME",
+                                     dimension_numbers=dn)
+    return jax.nn.relu(gn(y, 2, channel_axis=1))
+
+
+def regnet3d_ndhwc(x, ws):
+    """3x3x3 conv stacks at the RegNet scales (D=192, h=216, w=288)."""
+    import jax
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    y = x
+    for w in ws:
+        d = jax.lax.conv_dimension_numbers(y.shape, w.shape, dn)
+        s = (2, 2, 2) if w.shape[-1] > w.shape[-2] else (1, 1, 1)
+        y = jax.lax.conv_general_dilated(y, w, s, "SAME",
+                                         dimension_numbers=d)
+        y = jax.nn.relu(gn(y, 1))
+    return y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="2d",
+                    choices=["2d", "3d"])
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    dt = jnp.dtype(args.dtype)
+    rng = np.random.default_rng(0)
+    results = {}
+
+    if args.case == "2d":
+        B, H, W = 3, 864, 1152
+        x = jnp.asarray(rng.standard_normal((B, H, W, 3)), dt)
+        ws = [jnp.asarray(rng.standard_normal(s) * 0.1, dt) for s in
+              [(3, 3, 3, 8), (3, 3, 8, 8), (5, 5, 8, 16)]]
+        dt_nhwc = timed(stack_nhwc, x, ws)
+        print(f"2d NHWC {args.dtype}: {dt_nhwc*1e3:.2f} ms")
+        results["nhwc"] = dt_nhwc
+
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+        wsc = [jnp.transpose(w, (3, 2, 0, 1)) for w in ws]
+        dt_nchw = timed(stack_nchw, xc, wsc)
+        print(f"2d NCHW {args.dtype}: {dt_nchw*1e3:.2f} ms")
+        results["nchw"] = dt_nchw
+    else:
+        D, h, w = 64, 216, 288
+        x = jnp.asarray(rng.standard_normal((1, D, h, w, 8)), dt)
+        ws = [jnp.asarray(rng.standard_normal(s) * 0.1, dt) for s in
+              [(3, 3, 3, 8, 8), (3, 3, 3, 8, 16), (3, 3, 3, 16, 16)]]
+        dt3 = timed(regnet3d_ndhwc, x, ws)
+        print(f"3d NDHWC {args.dtype}: {dt3*1e3:.2f} ms")
+        results["ndhwc"] = dt3
+
+    print(json.dumps({k: round(v, 5) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
