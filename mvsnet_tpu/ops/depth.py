@@ -81,12 +81,19 @@ def probability_map(prob_volume, depth_map, depth_start, depth_interval,
     left1 = jnp.clip(left0 - 1, 0, D - 1)
     right1 = jnp.clip(right0 + 1, 0, D - 1)
 
-    def take(idx):
-        return jnp.take_along_axis(prob_volume, idx[:, None], axis=1)[:, 0]
+    # Gather-free: TPU per-pixel take_along_axis over the depth axis costs
+    # ~1 row/cycle; an indicator-weighted sum is one fused pass over the
+    # volume instead. Summing per-bucket indicators preserves the
+    # reference's double-count when floor(d) == ceil(d) (model.py:45-144).
+    iota_d = jnp.arange(D)[None, :, None, None]                         # (1,D,1,1)
 
-    prob = take(left0) + take(right0)
+    def indicator(idx):
+        return (iota_d == idx[:, None]).astype(prob_volume.dtype)
+
+    weight = indicator(left0) + indicator(right0)
     if num_buckets == 4:
-        prob = prob + take(left1) + take(right1)
+        weight = weight + indicator(left1) + indicator(right1)
+    prob = jnp.sum(prob_volume * weight, axis=1)
     return prob[..., None]
 
 

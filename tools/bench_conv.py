@@ -103,6 +103,40 @@ def stack_nchw(x, ws):
     return jax.nn.relu(gn(y, 2, channel_axis=1))
 
 
+def conv_im2col(x, w, stride=1):
+    """3x3/5x5 SAME conv as shifted-copy im2col + ONE matmul.
+
+    XLA's TPU conv lowering pads Cin and Cout to the 128-lane MXU width
+    independently per tap; at C=8 that's a ~256x FLOP inflation. im2col
+    pays the pad once: K = k*k*Cin -> 128, N = Cout -> 128.
+    """
+    import jax
+    import jax.numpy as jnp
+    kh, kw, cin, cout = w.shape
+    B, H, W, C = x.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [xp[:, dy:dy + H, dx:dx + W, :]
+            for dy in range(kh) for dx in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)          # (B, H, W, k*k*C)
+    if stride > 1:
+        patches = patches[:, ::stride, ::stride]
+    return jax.lax.dot_general(
+        patches, w.reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def stack_im2col(x, ws):
+    import jax
+    y = conv_im2col(x, ws[0])
+    y = jax.nn.relu(gn(y, 1))
+    y = conv_im2col(y, ws[1])
+    y = jax.nn.relu(gn(y, 1))
+    y = conv_im2col(y, ws[2], stride=2)
+    return jax.nn.relu(gn(y, 2))
+
+
 def regnet3d_ndhwc(x, ws):
     """3x3x3 conv stacks at the RegNet scales (D=192, h=216, w=288)."""
     import jax
@@ -143,6 +177,15 @@ def main():
         dt_nchw = timed(stack_nchw, xc, wsc)
         print(f"2d NCHW {args.dtype}: {dt_nchw*1e3:.2f} ms")
         results["nchw"] = dt_nchw
+
+        dt_i2c = timed(stack_im2col, x, ws)
+        print(f"2d im2col {args.dtype}: {dt_i2c*1e3:.2f} ms")
+        results["im2col"] = dt_i2c
+        # numerics cross-check on a slice
+        import jax
+        a = np.asarray(stack_nhwc(x[:1, :64, :64], ws), np.float32)
+        b = np.asarray(stack_im2col(x[:1, :64, :64], ws), np.float32)
+        print("im2col vs conv max abs err:", float(np.abs(a - b).max()))
     else:
         D, h, w = 64, 216, 288
         x = jnp.asarray(rng.standard_normal((1, D, h, w, 8)), dt)

@@ -43,7 +43,11 @@ def timed(fn, *args, iters=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also time the whole tower")
+    ap.add_argument("--only-full", action="store_true",
+                    help="skip per-layer timings (fewer tunnel compiles)")
     args = ap.parse_args()
+    if args.only_full:
+        args.full = True
 
     import jax
     import jax.numpy as jnp
@@ -66,6 +70,8 @@ def main():
         ("4_1 sixteenth 128",   16, 128, 128, 3, 1),
         ("9_0 s2 8->16 (5x5)",   4, 8, 16, 5, 2),
     ]
+    if args.only_full:
+        layers = []
     for name, div, cin, cout, k, s in layers:
         h, w = H // div, W // div
         x = jnp.asarray(rng.standard_normal((B, h, w, cin)), jnp.bfloat16)
@@ -77,13 +83,14 @@ def main():
         print(f"{name:26s} {dt*1e3:7.2f} ms   ({flops/1e9:6.1f} GF -> "
               f"{flops/dt/1e12:6.1f} TF/s)")
 
-    # conv WITHOUT GN at the worst shape, to split conv vs norm cost
-    x = jnp.asarray(rng.standard_normal((B, H, W, 8)), jnp.bfloat16)
-    m = Conv(8, 3, 1, relu=True, use_bias=False, dtype="bfloat16")
-    variables = m.init(jax.random.PRNGKey(0), x)
-    dt = timed(lambda xx: m.apply(variables, xx).astype(jnp.float32), x)
-    results["conv-only full-res 8->8"] = round(dt * 1e3, 3)
-    print(f"{'conv-only full-res 8->8':26s} {dt*1e3:7.2f} ms")
+    if not args.only_full:
+        # conv WITHOUT GN at the worst shape, to split conv vs norm cost
+        x = jnp.asarray(rng.standard_normal((B, H, W, 8)), jnp.bfloat16)
+        m = Conv(8, 3, 1, relu=True, use_bias=False, dtype="bfloat16")
+        variables = m.init(jax.random.PRNGKey(0), x)
+        dt = timed(lambda xx: m.apply(variables, xx).astype(jnp.float32), x)
+        results["conv-only full-res 8->8"] = round(dt * 1e3, 3)
+        print(f"{'conv-only full-res 8->8':26s} {dt*1e3:7.2f} ms")
 
     if args.full:
         x = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
