@@ -716,8 +716,8 @@ def pallas_cost_sharded_supported(B: int, height: int, width: int,
     return (B % dd == 0
             and max_d % dp == 0
             and height % (sp * ROWS_PER_CELL) == 0
-            and pallas_cost_supported(height, width, channels,
-                                      view_count_minus_1, dtype))
+            and _blockres_cost_supported(height, width, channels,
+                                         view_count_minus_1, dtype))
 
 
 def pallas_sweep_cost_volume_sharded(ref_feature, view_features, homographies,

@@ -137,6 +137,38 @@ def stack_im2col(x, ws):
     return jax.nn.relu(gn(y, 2))
 
 
+def conv3d_widen(x, w, s=1):
+    """3x3x3 conv as a 1x1x3 conv with N=(dz,dy,Cout) + 9 shifted adds.
+
+    XLA's TPU conv pads Cout to the 128 MXU lanes; at Cout=8 that is a 16x
+    FLOP inflation. Folding the (dz, dy) taps into the output-channel dim
+    lifts N to 9*Cout (72->128 for Cout=8, a 1.78x pad) while K=(dx, Cin)
+    stays in the contraction — the tap combine becomes 9 cheap shifted adds
+    that XLA fuses into one pass.
+    """
+    import jax
+    import jax.numpy as jnp
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == (3, 3, 3)
+    k2 = jnp.transpose(w, (2, 3, 0, 1, 4)).reshape(1, 1, kw, cin, kd * kh * cout)
+    d = jax.lax.conv_dimension_numbers(x.shape, k2.shape,
+                                       ("NDHWC", "DHWIO", "NDHWC"))
+    p = jax.lax.conv_general_dilated(x, k2, (1, 1, s), "SAME",
+                                     dimension_numbers=d)
+    B, D, H, W, _ = p.shape
+    pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    out = None
+    # SAME pad_low is 1 at stride 1 but 0 at stride 2 (k=3): shift starts.
+    o = s - 1
+    for dz in range(3):
+        for dy in range(3):
+            i = dz * 3 + dy
+            term = pp[:, dz + o:dz + o + D:s, dy + o:dy + o + H:s, :,
+                      i * cout:(i + 1) * cout]
+            out = term if out is None else out + term
+    return out
+
+
 def regnet3d_ndhwc(x, ws):
     """3x3x3 conv stacks at the RegNet scales (D=192, h=216, w=288)."""
     import jax
@@ -187,13 +219,48 @@ def main():
         b = np.asarray(stack_im2col(x[:1, :64, :64], ws), np.float32)
         print("im2col vs conv max abs err:", float(np.abs(a - b).max()))
     else:
-        D, h, w = 64, 216, 288
-        x = jnp.asarray(rng.standard_normal((1, D, h, w, 8)), dt)
-        ws = [jnp.asarray(rng.standard_normal(s) * 0.1, dt) for s in
-              [(3, 3, 3, 8, 8), (3, 3, 3, 8, 16), (3, 3, 3, 16, 16)]]
-        dt3 = timed(regnet3d_ndhwc, x, ws)
-        print(f"3d NDHWC {args.dtype}: {dt3*1e3:.2f} ms")
-        results["ndhwc"] = dt3
+        # RegNetUS0 hot layers at the 3DCNN operating point (conv-only:
+        # inference BN folds to a fused affine).
+        import jax
+        D, h, w = 192, 216, 288
+
+        def conv3d(x, w, s=1):
+            d = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            return jax.lax.conv_general_dilated(x, w, (s, s, s), "SAME",
+                                                dimension_numbers=d)
+
+        def deconv3d(x, w, s=2):
+            return jax.lax.conv_transpose(
+                x, w, (s, s, s), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        cases = [
+            ("3dconv0_1 32->8 full", (1, D, h, w, 32), (3, 3, 3, 32, 8), 1),
+            ("3dconv1_0 32->16 s2", (1, D, h, w, 32), (3, 3, 3, 32, 16), 2),
+            ("3dconv1_1 16->16 half", (1, D // 2, h // 2, w // 2, 16),
+             (3, 3, 3, 16, 16), 1),
+            ("3dconv6_2 8->1 full", (1, D, h, w, 8), (3, 3, 3, 8, 1), 1),
+        ]
+        for name, xs, wsh, s in cases:
+            x = jnp.asarray(rng.standard_normal(xs), dt)
+            w_ = jnp.asarray(rng.standard_normal(wsh) * 0.1, dt)
+            vox = np.prod(xs[1:4]) / s ** 3
+            fl = 2 * vox * 27 * wsh[3] * wsh[4]
+            for tag, fn in (("xla", conv3d), ("widen", conv3d_widen)):
+                t = timed(lambda a, b: fn(a, b, s), x, w_)
+                print(f"{name:24s} {tag:6s} {t*1e3:7.2f} ms  ({fl/1e9:6.1f} GF"
+                      f" -> {fl/t/1e12:5.1f} TF/s)")
+                results[f"{name} {tag}"] = round(t, 5)
+            a = np.asarray(conv3d(x[:, :16, :24, :32], w_, s), np.float32)
+            b = np.asarray(conv3d_widen(x[:, :16, :24, :32], w_, s), np.float32)
+            print(f"  widen vs conv max abs err: {float(np.abs(a - b).max()):.2e}")
+
+        x = jnp.asarray(rng.standard_normal((1, D // 2, h // 2, w // 2, 16)), dt)
+        w_ = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1, dt)
+        t = timed(deconv3d, x, w_)
+        print(f"{'deconv 16->8 to full':24s} {t*1e3:7.2f} ms")
+        results["deconv 16->8"] = round(t, 5)
 
     print(json.dumps({k: round(v, 5) for k, v in results.items()}))
 
