@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mvsnet_tpu.ops.conv_lowering import (
+    conv3d_wide_n,
+    deconv3d_wide_n,
+    wide_n_applicable,
+)
+
 Dtype = Union[str, jnp.dtype]
 
 
@@ -35,8 +41,100 @@ def _pair(k, n):
     return (k,) * n
 
 
+def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
+    """Route 3x3x3 s1 3D convs through ops/pallas/conv3d.rowconv3d on TPU.
+
+    Skipped under a >1-device mesh (a naked pallas_call there would force
+    full replication through GSPMD — same rule as the cost-volume kernel)."""
+    ndim = x.ndim - 2
+    if not (ndim == 3
+            and tuple(_pair(kernel, ndim)) == (3, 3, 3)
+            and tuple(_pair(stride, ndim)) in ((1, 1, 1), (2, 2, 2))
+            and tuple(_pair(dilation, ndim)) == (1, 1, 1)
+            and jax.default_backend() == "tpu"):
+        return False
+    from mvsnet_tpu.ops.pallas.conv3d import rowconv3d_supported  # noqa: PLC0415
+    from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+
+    mesh = mesh_lib.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return False
+    B, D, H, W, C = x.shape
+    s = _pair(stride, ndim)[0]
+    if s == 2 and not (D % 2 == 0 and H % 2 == 0 and W % 2 == 0):
+        return False
+    return rowconv3d_supported(D, H, W, C, filters, x.dtype)
+
+
+class _PallasConv3D(nn.Module):
+    """3x3x3 s1/s2 conv via the per-slab wide-N Pallas kernel.
+
+    Param layout matches nn.Conv (kernel (3,3,3,Cin,Cout) f32 lecun-normal,
+    optional zeros bias) so checkpoints are interchangeable."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d  # noqa: PLC0415
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        k = kernel
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = kernel.astype(self.dtype)
+        y = rowconv3d(x, k, self.stride)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class _WideConv3D(nn.Module):
+    """3x3x3 conv via the wide-N MXU lowering (ops/conv_lowering.py).
+
+    Parameter layout matches nn.Conv exactly (kernel (3,3,3,Cin,Cout) f32,
+    lecun-normal init; optional zeros bias), so checkpoints are
+    interchangeable with the direct lowering.
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        k = kernel
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = kernel.astype(self.dtype)
+        y = conv3d_wide_n(x, k, self.stride)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv(nn.Module):
-    """2D/3D conv dispatched by input rank (reference: network.py:203-215)."""
+    """2D/3D conv dispatched by input rank (reference: network.py:203-215).
+
+    `wide_lowering=True` opts into the XLA wide-N re-association
+    (ops/conv_lowering.py) — same math, same param tree. Measured SLOWER
+    than the direct conv on v5e (the 1x1x3 conv it builds lowers through
+    the same bad path), so it stays off by default; the fast path for the
+    regularizer's 3x3x3 convs is the Pallas kernel (ops/pallas/conv3d.py),
+    dispatched by RegNetUS0 itself."""
 
     filters: int
     kernel: int = 3
@@ -45,28 +143,73 @@ class Conv(nn.Module):
     use_bias: bool = True
     dilation: int = 1
     dtype: Optional[Dtype] = None
+    wide_lowering: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
         ndim = x.ndim - 2  # spatial dims
-        y = nn.Conv(
-            features=self.filters,
-            kernel_size=_pair(self.kernel, ndim),
-            strides=_pair(self.stride, ndim),
-            kernel_dilation=_pair(self.dilation, ndim),
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        use_wide = self.wide_lowering is True
+        if (not use_wide
+                and _pallas_conv3d_available(x, self.filters, self.kernel,
+                                             self.stride, self.dilation)):
+            # name='Conv_0' keeps the param path identical to the nn.Conv
+            # branch (its auto-assigned name).
+            y = _PallasConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
+                              use_bias=self.use_bias, dtype=self.dtype,
+                              name="Conv_0")(x)
+        elif use_wide and wide_n_applicable(ndim, self.kernel, self.stride,
+                                            self.dilation, self.filters):
+            y = _WideConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="Conv_0")(x)
+        else:
+            y = nn.Conv(
+                features=self.filters,
+                kernel_size=_pair(self.kernel, ndim),
+                strides=_pair(self.stride, ndim),
+                kernel_dilation=_pair(self.dilation, ndim),
+                padding="SAME",
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )(x)
         if self.relu:
             y = nn.relu(y)
         return y
 
 
+class _WideDeconv3D(nn.Module):
+    """3x3x3 s2 transposed conv via the wide-N polyphase lowering
+    (ops/conv_lowering.py). Param layout matches nn.ConvTranspose."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        k = kernel
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = kernel.astype(self.dtype)
+        y = deconv3d_wide_n(x, k)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Deconv(nn.Module):
     """2D/3D transposed conv, SAME padding: out = in * stride
-    (reference: network.py:300-329)."""
+    (reference: network.py:300-329).
+
+    `wide_lowering=True` opts into the wide-N polyphase lowering (same
+    math, same param tree; off by default for the same reason as Conv)."""
 
     filters: int
     kernel: int = 3
@@ -74,19 +217,29 @@ class Deconv(nn.Module):
     relu: bool = True
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    wide_lowering: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
         ndim = x.ndim - 2
-        y = nn.ConvTranspose(
-            features=self.filters,
-            kernel_size=_pair(self.kernel, ndim),
-            strides=_pair(self.stride, ndim),
-            padding="SAME",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        use_wide = self.wide_lowering is True
+        if (use_wide and ndim == 3
+                and tuple(_pair(self.kernel, ndim)) == (3, 3, 3)
+                and tuple(_pair(self.stride, ndim)) == (2, 2, 2)
+                and self.filters <= 32):
+            y = _WideDeconv3D(self.filters, use_bias=self.use_bias,
+                              dtype=self.dtype, name="ConvTranspose_0")(x)
+        else:
+            y = nn.ConvTranspose(
+                features=self.filters,
+                kernel_size=_pair(self.kernel, ndim),
+                strides=_pair(self.stride, ndim),
+                padding="SAME",
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="ConvTranspose_0",
+            )(x)
         if self.relu:
             y = nn.relu(y)
         return y

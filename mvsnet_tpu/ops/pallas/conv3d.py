@@ -1,0 +1,317 @@
+"""3x3x3 conv as per-slab wide-N matmuls (Pallas TPU).
+
+Why: XLA's TPU conv lowering runs the RegNetUS0 regularizer's small-channel
+3D convs at 0.2-7 TF/s (tools/bench_conv.py on v5e: 32->8 full-res 44.5 ms
+for 165 GF) because both Cin and Cout pad to the 128-lane MXU per tap.
+An XLA-level re-association (ops/conv_lowering.py) did not help: the 1x1x3
+conv it builds lowers through the same conv path (63 ms measured).
+
+Kernel idea: for each SOURCE z-slab, one big matmul computes every tap
+contribution at once:
+
+  P[(y, x), (dz, dy, co)] = sum_{dx, ci} W[(dx, ci), (dz, dy, co)]
+                                        * x[zs, y, x + dx - 1, ci]
+
+with K = (dx, Cin) <= 96 -> 128 lanes and N = (dz, dy, Cout) = 9*Cout
+(72 -> 128 for Cout=8 instead of 8 -> 128). Each source slab is read
+exactly ONCE; its P rows scatter-add (cheap VPU shifts) into a revolving
+3-slot f32 accumulator holding the partially-built output slabs
+z in {zs-1, zs, zs+1}:
+
+  out[zs + 1 - dz, ys + 1 - dy] += P[ys, (dz, dy)]
+
+The grid runs (D+1) sequential cells: cell g accumulates slab g and emits
+finished output slab g-1. No halo reads, no atomics, ~42% MXU efficiency
+at 32->8 (vs ~1.6% for the XLA lowering).
+
+Reference semantics: SAME 3x3x3 stride-1 conv, NDHWC x DHWIO
+(reference regularizer topology: cnn_wrapper/mvsnetworks.py:122-158).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 100 * 2 ** 20
+_ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                   vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
+    N = 9 * Cout
+
+    def kernel(x_ref, w_ref, out_ref, acc_ref):
+        # x_ref: (1, H, W, C) source slab min(g, D-1); w_ref: (3*C, 9*Cout);
+        # out_ref: (1, H, W, Cout) output slab max(g-1, 0);
+        # acc_ref: (3, H, W, Cout) f32 revolving accumulator, slot(z) = z%3.
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(g > 0)
+        def _():
+            # slot((g+1) % 3) last held z = g-2, emitted at cell g-1.
+            acc_ref[pl.ds((g + 1) % 3, 1)] = jnp.zeros((1, H, W, Cout),
+                                                       jnp.float32)
+
+        @pl.when(g < D)
+        def _():
+            x = x_ref[0]                                    # (H, W, C)
+            zero = jnp.zeros((H, 1, C), x.dtype)
+            # build each dx-shift as its own value (slicing one padded
+            # tensor leaves sublane offsets that Mosaic's lane-concat
+            # rejects: "offset mismatch on non-concat dimension")
+            left = jnp.concatenate([zero, x[:, :W - 1, :]], axis=1)
+            right = jnp.concatenate([x[:, 1:, :], zero], axis=1)
+            cat = jnp.concatenate([left, x, right], axis=2)
+            P = jax.lax.dot_general(
+                cat.reshape(H * W, 3 * C), w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (H*W, 9*Cout)
+            P = P.reshape(H, W, N)
+
+            for dz in range(3):
+                z = g + 1 - dz
+                slot = pl.ds(z % 3, 1)
+
+                @pl.when((z >= 0) & (z < D))
+                def _(dz=dz, slot=slot):
+                    # target rows y = ys + 1 - dy: shift the VALUE by a
+                    # zero-pad (a ref slice at [dyn, static] lowers as an
+                    # unsupported >2D gather in Mosaic).
+                    add = jnp.zeros((H, W, Cout), jnp.float32)
+                    for dy in range(3):
+                        blk = P[:, :, (dz * 3 + dy) * Cout:
+                                (dz * 3 + dy + 1) * Cout]
+                        if dy == 0:
+                            zrow = jnp.zeros((1, W, Cout), jnp.float32)
+                            blk = jnp.concatenate([zrow, blk[:H - 1]], axis=0)
+                        elif dy == 2:
+                            zrow = jnp.zeros((1, W, Cout), jnp.float32)
+                            blk = jnp.concatenate([blk[1:], zrow], axis=0)
+                        add = add + blk
+                    acc_ref[slot] += add[None]
+
+        @pl.when(g > 0)
+        def _():
+            out_ref[...] = acc_ref[pl.ds((g - 1) % 3, 1)].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
+    """Stride-2 variant: out[z',y',x'] = sum k[dz,dy,dx] x[2z'+dz, 2y'+dy,
+    2x'+dx] (SAME s2 pad_low=0). Source slabs stream once; P rows scatter
+    by parity into a 2-slot revolving accumulator of half-res output slabs.
+    """
+    N = 9 * Cout
+    H2, W2 = H // 2, W // 2
+
+    def kernel(x_ref, w_ref, out_ref, acc_ref):
+        # x_ref: (1, H, W, C) slab min(g, D-1); out_ref: (1, H2, W2, Cout)
+        # at index max(g//2 - 1, 0); acc_ref: (2, H2, W2, Cout) f32,
+        # slot(z') = z' % 2. Grid (D+1,) sequential.
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when((g > 0) & (g % 2 == 0) & (g // 2 < D // 2))
+        def _():
+            # even cell g starts accumulating z' = g/2
+            acc_ref[pl.ds((g // 2) % 2, 1)] = jnp.zeros((1, H2, W2, Cout),
+                                                        jnp.float32)
+
+        @pl.when(g < D)
+        def _():
+            x = x_ref[0]                                     # (H, W, C)
+            x2 = x.reshape(H, W2, 2 * C)
+            nxt = jnp.concatenate(
+                [x2[:, 1:, :C], jnp.zeros((H, 1, C), x.dtype)], axis=1)
+            cat = jnp.concatenate([x2[:, :, :C], x2[:, :, C:], nxt], axis=2)
+            P = jax.lax.dot_general(
+                cat.reshape(H * W2, 3 * C), w_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (H*W2, 9*Cout)
+            P = P.reshape(H2, 2, W2, N)
+
+            for dz in range(3):
+                # z' = (g - dz) / 2 when parity matches
+                @pl.when(((g - dz) % 2 == 0) & (g - dz >= 0)
+                         & ((g - dz) // 2 < D // 2))
+                def _(dz=dz):
+                    slot = pl.ds(((g - dz) // 2) % 2, 1)
+                    add = jnp.zeros((H2, W2, Cout), jnp.float32)
+                    for dy in range(3):
+                        blk = P[:, dy % 2, :,
+                                (dz * 3 + dy) * Cout:(dz * 3 + dy + 1) * Cout]
+                        if dy == 2:
+                            # ys = 2t (t >= 1) -> y' = t - 1
+                            zrow = jnp.zeros((1, W2, Cout), jnp.float32)
+                            blk = jnp.concatenate([blk[1:], zrow], axis=0)
+                        add = add + blk
+                    acc_ref[slot] += add[None]
+
+        @pl.when((g >= 2) & (g % 2 == 0))
+        def _():
+            out_ref[...] = acc_ref[pl.ds((g // 2 - 1) % 2, 1)].astype(
+                out_ref.dtype)
+
+    return kernel
+
+
+def rowconv3d_supported(D: int, H: int, W: int, C: int, Cout: int,
+                        dtype=jnp.bfloat16) -> bool:
+    """VMEM model: slab + cat + P + acc + out blocks must fit."""
+    item = jnp.dtype(dtype).itemsize
+    slab = 2 * H * W * C * item                 # double-buffered input block
+    cat = H * W * 4 * C * item                  # padded + lane-concat copies
+    p = H * W * 9 * Cout * 4                    # f32 matmul output
+    acc = 3 * H * W * Cout * 4
+    out = 2 * H * W * Cout * item
+    total = slab + cat + p + acc + out + (3 * C) * (9 * Cout) * item
+    return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32
+            and total < _VMEM_LIMIT - 8 * 2 ** 20)
+
+
+def _weights_wide(kernel):
+    """(3,3,3,Cin,Cout) -> (3*Cin, 9*Cout): W[(dx,ci),(dz,dy,co)]."""
+    kd, kh, kw, cin, cout = kernel.shape
+    return jnp.transpose(kernel, (2, 3, 0, 1, 4)).reshape(kw * cin,
+                                                          kd * kh * cout)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
+def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
+    B, D, H, W, C = x.shape
+    cout = kernel.shape[-1]
+    wr = _weights_wide(kernel)
+
+    if stride == 1:
+        kern = _make_kernel(D, H, W, C, cout)
+        out_shape = (D, H, W, cout)
+        out_spec = pl.BlockSpec((1, H, W, cout),
+                                lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        acc = pltpu.VMEM((3, H, W, cout), jnp.float32)
+    else:
+        assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+        kern = _make_kernel_s2(D, H, W, C, cout)
+        out_shape = (D // 2, H // 2, W // 2, cout)
+        out_spec = pl.BlockSpec((1, H // 2, W // 2, cout),
+                                lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        acc = pltpu.VMEM((2, H // 2, W // 2, cout), jnp.float32)
+
+    def one(xb):
+        return pl.pallas_call(
+            kern,
+            grid=(D + 1,),
+            in_specs=[
+                pl.BlockSpec((1, H, W, C),
+                             lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * C, 9 * cout), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+            scratch_shapes=[acc],
+            interpret=interpret,
+            compiler_params=_ARBITRARY1,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * D * H * W * 27 * C * cout // stride ** 3,
+                bytes_accessed=(D * H * W * C * x.dtype.itemsize
+                                + D * H * W * cout * x.dtype.itemsize
+                                // stride ** 3),
+                transcendentals=0,
+            ),
+        )(xb, wr.astype(x.dtype))
+
+    return jnp.stack([one(x[b]) for b in range(B)], axis=0)
+
+
+def _auto_interpret() -> bool:
+    # interpret everywhere but real TPUs, so CPU tests exercise the same code
+    return jax.default_backend() != "tpu"
+
+
+def rowconv3d_interpret(x, kernel, stride: int = 1):
+    """Interpreter-mode variant for CPU tests."""
+    return _rowconv3d_fwd_impl(x, kernel, stride, interpret=True)
+
+
+def _flip(kernel):
+    # conv transpose filter: flip taps, swap ci/co
+    return jnp.transpose(kernel[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+
+
+def _xla_conv3d(x, kernel, stride: int = 1):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(x, kernel, (stride,) * 3, "SAME",
+                                        dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def _rowconv3d_s1(x, kernel):
+    return _rowconv3d_fwd_impl(x, kernel, 1, interpret=_auto_interpret())
+
+
+def _s1_vjp_fwd(x, kernel):
+    out = _rowconv3d_fwd_impl(x, kernel, 1, interpret=_auto_interpret())
+    return out, (x, kernel)
+
+
+def _s1_vjp_bwd(res, g):
+    x, kernel = res
+    g = g.astype(x.dtype)
+    # the conv is linear: dx is the same kernel run with the flipped filter
+    dx = _rowconv3d_fwd_impl(g, _flip(kernel), 1, interpret=_auto_interpret())
+    _, wgrad = jax.vjp(lambda k: _xla_conv3d(x, k, 1), kernel)
+    (dk,) = wgrad(g)
+    return dx, dk
+
+
+_rowconv3d_s1.defvjp(_s1_vjp_fwd, _s1_vjp_bwd)
+
+
+@jax.custom_vjp
+def _rowconv3d_s2(x, kernel):
+    return _rowconv3d_fwd_impl(x, kernel, 2, interpret=_auto_interpret())
+
+
+def _s2_vjp_fwd(x, kernel):
+    out = _rowconv3d_fwd_impl(x, kernel, 2, interpret=_auto_interpret())
+    return out, (x, kernel)
+
+
+def _s2_vjp_bwd(res, g):
+    x, kernel = res
+    _, grad = jax.vjp(lambda a, k: _xla_conv3d(a, k, 2), x, kernel)
+    return grad(g.astype(x.dtype))
+
+
+_rowconv3d_s2.defvjp(_s2_vjp_fwd, _s2_vjp_bwd)
+
+
+def rowconv3d(x, kernel, stride: int = 1):
+    """SAME 3x3x3 conv, stride 1 or 2, (B, D, H, W, Cin) @ (3,3,3,Cin,Cout).
+
+    Drop-in for lax.conv_general_dilated(..., (s,s,s), 'SAME') with
+    NDHWC/DHWIO. Differentiable: at stride 1, dx runs the same kernel with
+    the flipped/transposed filter; dk (and the whole stride-2 backward)
+    uses XLA's native conv grads.
+    """
+    if stride == 1:
+        return _rowconv3d_s1(x, kernel)
+    assert stride == 2, stride
+    return _rowconv3d_s2(x, kernel)

@@ -198,3 +198,81 @@ def test_dsl_extras():
     assert float(jnp.min(mp - ap)) >= -1e-6   # max >= mean per window
     np.testing.assert_allclose(
         np.asarray(l2_pool(jnp.ones_like(x))), 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("stride,cin,cout", [(1, 32, 8), (2, 32, 16),
+                                             (1, 8, 1), (2, 16, 16)])
+def test_wide_conv3d_matches_direct(stride, cin, cout):
+    """The wide-N 3D conv lowering is the same math as nn.Conv (and shares
+    its exact param tree, so checkpoints are interchangeable)."""
+    from mvsnet_tpu.models.layers import Conv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 24, cin)), jnp.float32)
+    direct = Conv(cout, 3, stride, relu=False, use_bias=True,
+                  wide_lowering=False)
+    wide = Conv(cout, 3, stride, relu=False, use_bias=True,
+                wide_lowering=True)
+    variables = direct.init(jax.random.PRNGKey(0), x)
+    # identical param tree: wide must apply direct's params unchanged
+    a = direct.apply(variables, x)
+    b = wide.apply(variables, x)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+    # gradients flow and match (the lowering is a reassociated sum)
+    def loss(fn, v):
+        return jnp.sum(jnp.square(fn.apply(v, x)))
+
+    ga = jax.grad(lambda v: loss(direct, v))(variables)
+    gb = jax.grad(lambda v: loss(wide, v))(variables)
+    ka = ga["params"]["Conv_0"]["kernel"]
+    kb = gb["params"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_regnet_wide_lowering_params_interchange():
+    """RegNetUS0 built on CPU (direct convs) evaluates identically with the
+    wide-lowering auto-gate forced on — guards the name='Conv_0' param
+    aliasing between the two branches."""
+    import unittest.mock as mock
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, 16, 16, 8)), jnp.float32)
+    net = RegNetUS0("ultralite")
+    variables = net.init(jax.random.PRNGKey(0), x)
+    a = net.apply(variables, x)
+    with mock.patch("mvsnet_tpu.models.layers.jax.default_backend",
+                    return_value="tpu"):
+        b = net.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout", [(16, 8), (32, 16), (8, 8)])
+def test_wide_deconv3d_matches_direct(cin, cout):
+    from mvsnet_tpu.models.layers import Deconv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 12, cin)), jnp.float32)
+    direct = Deconv(cout, 3, 2, relu=False, use_bias=True,
+                    wide_lowering=False)
+    wide = Deconv(cout, 3, 2, relu=False, use_bias=True, wide_lowering=True)
+    variables = direct.init(jax.random.PRNGKey(0), x)
+    a = direct.apply(variables, x)
+    b = wide.apply(variables, x)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(fn, v):
+        return jnp.sum(jnp.square(fn.apply(v, x)))
+
+    ga = jax.grad(lambda v: loss(direct, v))(variables)
+    gb = jax.grad(lambda v: loss(wide, v))(variables)
+    ka = ga["params"]["ConvTranspose_0"]["kernel"]
+    kb = gb["params"]["ConvTranspose_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                               atol=2e-3, rtol=1e-4)

@@ -158,3 +158,96 @@ def test_sharded_supported_predicate():
     assert not pallas_cost_sharded_supported(2, 16, 24, 8, 2, 3, mesh)   # D % depth
     assert not pallas_cost_sharded_supported(2, 24, 24, 8, 2, 4, mesh)   # H % (sp*8)
     assert not pallas_cost_sharded_supported(2, 16, 24, 8, 2, 4, None)
+
+
+class TestRowConv3D:
+    """Per-slab wide-N conv kernel (ops/pallas/conv3d.py) vs the XLA conv."""
+
+    @pytest.mark.parametrize("cin,cout", [(32, 8), (16, 16), (8, 1)])
+    def test_matches_xla_conv(self, cin, cout):
+        from mvsnet_tpu.ops.pallas.conv3d import (
+            _xla_conv3d,
+            rowconv3d_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((1, 5, 16, 24, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        ref = np.asarray(_xla_conv3d(x, k))
+        got = np.asarray(rowconv3d_interpret(x, k))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_batched(self):
+        from mvsnet_tpu.ops.pallas.conv3d import (
+            _xla_conv3d,
+            rowconv3d_interpret,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)) * 0.1,
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(rowconv3d_interpret(x, k)),
+                                   np.asarray(_xla_conv3d(x, k)),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_custom_vjp_matches_xla_grads(self):
+        from mvsnet_tpu.ops.pallas.conv3d import _xla_conv3d, rowconv3d
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 5, 16, 24, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, 5, 16, 24, 8)), jnp.float32)
+
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(_xla_conv3d(a, b) * g), (0, 1))(x, k)
+        gx2, gk2 = jax.grad(
+            lambda a, b: jnp.sum(rowconv3d(a, b) * g), (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                   atol=2e-4, rtol=1e-5)
+
+    def test_supported_model(self):
+        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d_supported
+
+        # the 3DCNN operating point layers
+        assert rowconv3d_supported(192, 216, 288, 32, 8)
+        assert rowconv3d_supported(192, 216, 288, 8, 1)
+        assert rowconv3d_supported(96, 108, 144, 16, 16)
+        # 64-channel level-3 falls back to XLA
+        assert not rowconv3d_supported(24, 27, 36, 64, 64)
+
+    @pytest.mark.parametrize("cin,cout", [(32, 8), (16, 16)])
+    def test_stride2_matches_xla_conv(self, cin, cout):
+        from mvsnet_tpu.ops.pallas.conv3d import (
+            _xla_conv3d,
+            rowconv3d_interpret,
+        )
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 6, 16, 24, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        ref = np.asarray(_xla_conv3d(x, k, 2))
+        got = np.asarray(rowconv3d_interpret(x, k, 2))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_stride2_grads_match_xla(self):
+        from mvsnet_tpu.ops.pallas.conv3d import _xla_conv3d, rowconv3d
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((1, 6, 16, 24, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, 3, 8, 12, 8)), jnp.float32)
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(_xla_conv3d(a, b, 2) * g), (0, 1))(x, k)
+        gx2, gk2 = jax.grad(
+            lambda a, b: jnp.sum(rowconv3d(a, b, 2) * g), (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                   atol=2e-4, rtol=1e-5)

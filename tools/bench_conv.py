@@ -186,7 +186,7 @@ def regnet3d_ndhwc(x, ws):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="2d",
-                    choices=["2d", "3d"])
+                    choices=["2d", "3d", "pallas3d"])
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -218,6 +218,25 @@ def main():
         a = np.asarray(stack_nhwc(x[:1, :64, :64], ws), np.float32)
         b = np.asarray(stack_im2col(x[:1, :64, :64], ws), np.float32)
         print("im2col vs conv max abs err:", float(np.abs(a - b).max()))
+    elif args.case == "pallas3d":
+        # the per-slab wide-N Pallas kernel vs the same layers
+        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d
+        D, h, w = 192, 216, 288
+        cases = [
+            ("3dconv0_1 32->8 full", (1, D, h, w, 32), (3, 3, 3, 32, 8), 1),
+            ("3dconv6_2 8->1 full", (1, D, h, w, 8), (3, 3, 3, 8, 1), 1),
+            ("3dconv1_1 16->16 half", (1, D // 2, h // 2, w // 2, 16),
+             (3, 3, 3, 16, 16), 1),
+            ("3dconv1_0 32->16 s2", (1, D, h, w, 32), (3, 3, 3, 32, 16), 2),
+        ]
+        for name, xs, wsh, s in cases:
+            x = jnp.asarray(rng.standard_normal(xs), dt)
+            w_ = jnp.asarray(rng.standard_normal(wsh) * 0.1, jnp.float32)
+            t = timed(lambda a, b: rowconv3d(a, b.astype(a.dtype), s), x, w_)
+            fl = 2 * np.prod(xs[1:4]) * 27 * wsh[3] * wsh[4] / s ** 3
+            print(f"{name:24s} pallas {t*1e3:7.2f} ms  ({fl/1e9:6.1f} GF -> "
+                  f"{fl/t/1e12:5.1f} TF/s)")
+            results[f"{name} pallas"] = round(t, 5)
     else:
         # RegNetUS0 hot layers at the 3DCNN operating point (conv-only:
         # inference BN folds to a fused affine).
