@@ -45,7 +45,12 @@ def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
     """Route 3x3x3 s1 3D convs through ops/pallas/conv3d.rowconv3d on TPU.
 
     Skipped under a >1-device mesh (a naked pallas_call there would force
-    full replication through GSPMD — same rule as the cost-volume kernel)."""
+    full replication through GSPMD — same rule as the cost-volume kernel).
+    Set MVSNET_TPU_NO_PALLAS_CONV=1 to force the XLA lowering."""
+    import os  # noqa: PLC0415
+
+    if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
+        return False
     ndim = x.ndim - 2
     if not (ndim == 3
             and tuple(_pair(kernel, ndim)) == (3, 3, 3)

@@ -43,12 +43,22 @@ _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
 
 
 def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
-    N = 9 * Cout
+    """Channel-second-minor edition: every scratch/output tile is shaped
+    (..., Cout, W), because a (..., W, Cout=8) VMEM buffer pads the minor
+    dim to 128 lanes (measured: the accumulators alone demanded 2x92 MiB).
+    The per-row matmul therefore emits (9*Cout, W) directly (transposed
+    operands), tap blocks are FREE sublane slices at multiples of Cout, and
+    the dy shift is pure row indexing into the staging scratch."""
 
-    def kernel(x_ref, w_ref, out_ref, acc_ref):
+    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
         # x_ref: (1, H, W, C) source slab min(g, D-1); w_ref: (3*C, 9*Cout);
-        # out_ref: (1, H, W, Cout) output slab max(g-1, 0);
-        # acc_ref: (3, H, W, Cout) f32 revolving accumulator, slot(z) = z%3.
+        # out_ref: (1, H, Cout, W) output slab max(g-1, 0) — the wrapper
+        #   transposes back to NDHWC;
+        # acc_ref: (3, H, Cout, W) f32 revolving accumulator, slot(z) = z%3;
+        # dz_ref: (3, H+2, Cout, W) f32 per-dz staging with one pad row on
+        #   each side (source row i writes its dy tap at row i + 2 - dy, so
+        #   no edge clamping; dz stays a python int because a
+        #   [dynamic, static-slice] ref access lowers as a >2D gather).
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -58,46 +68,42 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
         @pl.when(g > 0)
         def _():
             # slot((g+1) % 3) last held z = g-2, emitted at cell g-1.
-            acc_ref[pl.ds((g + 1) % 3, 1)] = jnp.zeros((1, H, W, Cout),
+            acc_ref[pl.ds((g + 1) % 3, 1)] = jnp.zeros((1, H, Cout, W),
                                                        jnp.float32)
 
         @pl.when(g < D)
         def _():
-            x = x_ref[0]                                    # (H, W, C)
-            zero = jnp.zeros((H, 1, C), x.dtype)
-            # build each dx-shift as its own value (slicing one padded
-            # tensor leaves sublane offsets that Mosaic's lane-concat
-            # rejects: "offset mismatch on non-concat dimension")
-            left = jnp.concatenate([zero, x[:, :W - 1, :]], axis=1)
-            right = jnp.concatenate([x[:, 1:, :], zero], axis=1)
-            cat = jnp.concatenate([left, x, right], axis=2)
-            P = jax.lax.dot_general(
-                cat.reshape(H * W, 3 * C), w_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (H*W, 9*Cout)
-            P = P.reshape(H, W, N)
+            dz_ref[...] = jnp.zeros_like(dz_ref)
+            w = w_ref[...]
+
+            def row(i, _):
+                x = x_ref[0, pl.ds(i, 1)].reshape(W, C)
+                zero = jnp.zeros((1, C), x.dtype)
+                # dx shifts run along SUBLANES of the (W, C) row; each is
+                # its own value (slices of one padded tensor carry offsets
+                # Mosaic's lane-concat rejects)
+                left = jnp.concatenate([zero, x[:W - 1]], axis=0)
+                right = jnp.concatenate([x[1:], zero], axis=0)
+                cat = jnp.concatenate([left, x, right], axis=1)  # (W, 3C)
+                P = jax.lax.dot_general(
+                    w, cat, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (9*Cout, W)
+                for dz in range(3):
+                    for dy in range(3):
+                        blk = P[(dz * 3 + dy) * Cout:
+                                (dz * 3 + dy + 1) * Cout]    # (Cout, W)
+                        # target row y = i + 1 - dy, +1 staging pad
+                        dz_ref[dz, pl.ds(i + 2 - dy, 1)] += blk[None]
+                return 0
+
+            jax.lax.fori_loop(0, H, row, 0)
 
             for dz in range(3):
                 z = g + 1 - dz
-                slot = pl.ds(z % 3, 1)
 
                 @pl.when((z >= 0) & (z < D))
-                def _(dz=dz, slot=slot):
-                    # target rows y = ys + 1 - dy: shift the VALUE by a
-                    # zero-pad (a ref slice at [dyn, static] lowers as an
-                    # unsupported >2D gather in Mosaic).
-                    add = jnp.zeros((H, W, Cout), jnp.float32)
-                    for dy in range(3):
-                        blk = P[:, :, (dz * 3 + dy) * Cout:
-                                (dz * 3 + dy + 1) * Cout]
-                        if dy == 0:
-                            zrow = jnp.zeros((1, W, Cout), jnp.float32)
-                            blk = jnp.concatenate([zrow, blk[:H - 1]], axis=0)
-                        elif dy == 2:
-                            zrow = jnp.zeros((1, W, Cout), jnp.float32)
-                            blk = jnp.concatenate([blk[1:], zrow], axis=0)
-                        add = add + blk
-                    acc_ref[slot] += add[None]
+                def _(dz=dz, z=z):
+                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1, 1:H + 1]
 
         @pl.when(g > 0)
         def _():
@@ -108,16 +114,17 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
 
 def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
     """Stride-2 variant: out[z',y',x'] = sum k[dz,dy,dx] x[2z'+dz, 2y'+dy,
-    2x'+dx] (SAME s2 pad_low=0). Source slabs stream once; P rows scatter
-    by parity into a 2-slot revolving accumulator of half-res output slabs.
+    2x'+dx] (SAME s2 pad_low=0). Source rows stream once; each row's taps
+    scatter by parity into a 2-slot revolving accumulator of half-res
+    output slabs. Channel-second-minor like _make_kernel.
     """
-    N = 9 * Cout
     H2, W2 = H // 2, W // 2
 
-    def kernel(x_ref, w_ref, out_ref, acc_ref):
-        # x_ref: (1, H, W, C) slab min(g, D-1); out_ref: (1, H2, W2, Cout)
-        # at index max(g//2 - 1, 0); acc_ref: (2, H2, W2, Cout) f32,
-        # slot(z') = z' % 2. Grid (D+1,) sequential.
+    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
+        # x_ref: (1, H, W, C) slab min(g, D-1); out_ref: (1, H2, Cout, W2)
+        # at index max(g//2 - 1, 0); acc_ref: (2, H2, Cout, W2) f32,
+        # slot(z') = z' % 2; dz_ref: (3, H2+2, Cout, W2) f32 per-dz staging
+        # (+1 pad row each side). Grid (D+1,) sequential.
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -127,21 +134,41 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
         @pl.when((g > 0) & (g % 2 == 0) & (g // 2 < D // 2))
         def _():
             # even cell g starts accumulating z' = g/2
-            acc_ref[pl.ds((g // 2) % 2, 1)] = jnp.zeros((1, H2, W2, Cout),
+            acc_ref[pl.ds((g // 2) % 2, 1)] = jnp.zeros((1, H2, Cout, W2),
                                                         jnp.float32)
 
         @pl.when(g < D)
         def _():
-            x = x_ref[0]                                     # (H, W, C)
-            x2 = x.reshape(H, W2, 2 * C)
-            nxt = jnp.concatenate(
-                [x2[:, 1:, :C], jnp.zeros((H, 1, C), x.dtype)], axis=1)
-            cat = jnp.concatenate([x2[:, :, :C], x2[:, :, C:], nxt], axis=2)
-            P = jax.lax.dot_general(
-                cat.reshape(H * W2, 3 * C), w_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (H*W2, 9*Cout)
-            P = P.reshape(H2, 2, W2, N)
+            dz_ref[...] = jnp.zeros_like(dz_ref)
+            w = w_ref[...]
+
+            def row(i, _):
+                # source row i = 2t + p: dy taps with dy % 2 == p hit
+                # output rows t (dy < 2) and t - 1 (dy == 2).
+                # x_ref comes pre-reshaped to (1, H, W/2, 2C) XLA-side: a
+                # (W, C) -> (W/2, 2C) shape cast inside the kernel is
+                # unsupported by Mosaic's layout inference.
+                x2 = x_ref[0, pl.ds(i, 1)].reshape(W2, 2 * C)
+                nxt_full = jnp.concatenate(
+                    [x2[1:], jnp.zeros((1, 2 * C), x2.dtype)], axis=0)
+                cat = jnp.concatenate([x2, nxt_full[:, :C]], axis=1)
+                P = jax.lax.dot_general(
+                    w, cat, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (9*Cout, W2)
+                t = i // 2
+                p = i % 2
+                for dy in range(3):
+                    tgt = t + 1 if dy < 2 else t            # +1 staging pad
+
+                    @pl.when(dy % 2 == p)
+                    def _(dy=dy, tgt=tgt):
+                        for dz in range(3):
+                            blk = P[(dz * 3 + dy) * Cout:
+                                    (dz * 3 + dy + 1) * Cout]
+                            dz_ref[dz, pl.ds(tgt, 1)] += blk[None]
+                return 0
+
+            jax.lax.fori_loop(0, H, row, 0)
 
             for dz in range(3):
                 # z' = (g - dz) / 2 when parity matches
@@ -149,16 +176,7 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
                          & ((g - dz) // 2 < D // 2))
                 def _(dz=dz):
                     slot = pl.ds(((g - dz) // 2) % 2, 1)
-                    add = jnp.zeros((H2, W2, Cout), jnp.float32)
-                    for dy in range(3):
-                        blk = P[:, dy % 2, :,
-                                (dz * 3 + dy) * Cout:(dz * 3 + dy + 1) * Cout]
-                        if dy == 2:
-                            # ys = 2t (t >= 1) -> y' = t - 1
-                            zrow = jnp.zeros((1, W2, Cout), jnp.float32)
-                            blk = jnp.concatenate([blk[1:], zrow], axis=0)
-                        add = add + blk
-                    acc_ref[slot] += add[None]
+                    acc_ref[slot] += dz_ref[dz:dz + 1, 1:H2 + 1]
 
         @pl.when((g >= 2) & (g % 2 == 0))
         def _():
@@ -170,14 +188,16 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
 
 def rowconv3d_supported(D: int, H: int, W: int, C: int, Cout: int,
                         dtype=jnp.bfloat16) -> bool:
-    """VMEM model: slab + cat + P + acc + out blocks must fit."""
+    """VMEM model with tile padding: the NDHWC input block pads C to 128
+    lanes; the channel-second-minor scratches pad W to 128 lanes and Cout
+    to 8 sublanes."""
     item = jnp.dtype(dtype).itemsize
-    slab = 2 * H * W * C * item                 # double-buffered input block
-    cat = H * W * 4 * C * item                  # padded + lane-concat copies
-    p = H * W * 9 * Cout * 4                    # f32 matmul output
-    acc = 3 * H * W * Cout * 4
-    out = 2 * H * W * Cout * item
-    total = slab + cat + p + acc + out + (3 * C) * (9 * Cout) * item
+    wpad = -(-W // 128) * 128
+    copad = -(-Cout // 8) * 8
+    slab = 2 * H * W * 128 * item               # double-buffered input block
+    scratch = 6 * H * copad * wpad * 4          # 3-slot acc + 3-slot staging
+    out = 2 * H * copad * wpad * item
+    total = slab + scratch + out
     return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32
             and total < _VMEM_LIMIT - 8 * 2 ** 20)
 
@@ -195,28 +215,36 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel)
 
+    # outputs come (D', H', Cout, W') — channel-second-minor to avoid the
+    # 16x minor-dim pad of Cout<128 VMEM tiles; transposed back below.
     if stride == 1:
         kern = _make_kernel(D, H, W, C, cout)
-        out_shape = (D, H, W, cout)
-        out_spec = pl.BlockSpec((1, H, W, cout),
+        out_shape = (D, H, cout, W)
+        out_spec = pl.BlockSpec((1, H, cout, W),
                                 lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        acc = pltpu.VMEM((3, H, W, cout), jnp.float32)
+        scratch = [pltpu.VMEM((3, H, cout, W), jnp.float32),
+                   pltpu.VMEM((3, H + 2, cout, W), jnp.float32)]
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
         kern = _make_kernel_s2(D, H, W, C, cout)
-        out_shape = (D // 2, H // 2, W // 2, cout)
-        out_spec = pl.BlockSpec((1, H // 2, W // 2, cout),
+        out_shape = (D // 2, H // 2, cout, W // 2)
+        out_spec = pl.BlockSpec((1, H // 2, cout, W // 2),
                                 lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        acc = pltpu.VMEM((2, H // 2, W // 2, cout), jnp.float32)
+        scratch = [pltpu.VMEM((2, H // 2, cout, W // 2), jnp.float32),
+                   pltpu.VMEM((3, H // 2 + 2, cout, W // 2), jnp.float32)]
+
+    if stride == 2:
+        x = x.reshape(B, D, H, W // 2, 2 * C)
+    in_block = x.shape[2:]
 
     def one(xb):
         return pl.pallas_call(
             kern,
             grid=(D + 1,),
             in_specs=[
-                pl.BlockSpec((1, H, W, C),
+                pl.BlockSpec((1,) + in_block,
                              lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3 * C, 9 * cout), lambda g: (0, 0),
@@ -224,7 +252,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
             ],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
-            scratch_shapes=[acc],
+            scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=_ARBITRARY1,
             cost_estimate=pl.CostEstimate(
@@ -236,7 +264,8 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
             ),
         )(xb, wr.astype(x.dtype))
 
-    return jnp.stack([one(x[b]) for b in range(B)], axis=0)
+    out = jnp.stack([one(x[b]) for b in range(B)], axis=0)
+    return jnp.transpose(out, (0, 1, 2, 4, 3))       # -> (B, D', H', W', Co)
 
 
 def _auto_interpret() -> bool:

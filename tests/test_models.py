@@ -233,10 +233,10 @@ def test_wide_conv3d_matches_direct(stride, cin, cout):
                                atol=2e-3, rtol=1e-4)
 
 
-def test_regnet_wide_lowering_params_interchange():
+def test_regnet_pallas_lowering_params_interchange():
     """RegNetUS0 built on CPU (direct convs) evaluates identically with the
-    wide-lowering auto-gate forced on — guards the name='Conv_0' param
-    aliasing between the two branches."""
+    Pallas conv dispatch forced on (interpret mode) — guards the
+    name='Conv_0' param aliasing between the two branches."""
     import unittest.mock as mock
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -244,8 +244,10 @@ def test_regnet_wide_lowering_params_interchange():
     net = RegNetUS0("ultralite")
     variables = net.init(jax.random.PRNGKey(0), x)
     a = net.apply(variables, x)
-    with mock.patch("mvsnet_tpu.models.layers.jax.default_backend",
-                    return_value="tpu"):
+    with mock.patch("mvsnet_tpu.models.layers._pallas_conv3d_available",
+                    return_value=True), \
+         mock.patch("mvsnet_tpu.ops.pallas.conv3d._auto_interpret",
+                    return_value=True):
         b = net.apply(variables, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
                                rtol=1e-5)
