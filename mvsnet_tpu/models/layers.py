@@ -71,6 +71,57 @@ def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
     return rowconv3d_supported(D, H, W, C, filters, x.dtype)
 
 
+def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
+    """Route 3x3 s1 2D convs through ops/pallas/conv2d.rowconv2d on TPU
+    (same gating rules as the 3D dispatch)."""
+    import os  # noqa: PLC0415
+
+    if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
+        return False
+    ndim = x.ndim - 2
+    if not (ndim == 2
+            and tuple(_pair(kernel, ndim)) == (3, 3)
+            and tuple(_pair(stride, ndim)) == (1, 1)
+            and tuple(_pair(dilation, ndim)) == (1, 1)
+            and jax.default_backend() == "tpu"):
+        return False
+    from mvsnet_tpu.ops.pallas.conv2d import rowconv2d_supported  # noqa: PLC0415
+    from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+
+    mesh = mesh_lib.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return False
+    B, H, W, C = x.shape
+    return rowconv2d_supported(H, W, C, filters, x.dtype)
+
+
+class _PallasConv2D(nn.Module):
+    """3x3 s1 conv via the per-row wide-N Pallas kernel; param layout
+    matches nn.Conv so checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from mvsnet_tpu.ops.pallas.conv2d import rowconv2d  # noqa: PLC0415
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        k = kernel
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = kernel.astype(self.dtype)
+        y = rowconv2d(x, k)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class _PallasConv3D(nn.Module):
     """3x3x3 s1/s2 conv via the per-slab wide-N Pallas kernel.
 
@@ -162,6 +213,11 @@ class Conv(nn.Module):
             y = _PallasConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
                               use_bias=self.use_bias, dtype=self.dtype,
                               name="Conv_0")(x)
+        elif (not use_wide
+              and _pallas_conv2d_available(x, self.filters, self.kernel,
+                                           self.stride, self.dilation)):
+            y = _PallasConv2D(self.filters, use_bias=self.use_bias,
+                              dtype=self.dtype, name="Conv_0")(x)
         elif use_wide and wide_n_applicable(ndim, self.kernel, self.stride,
                                             self.dilation, self.filters):
             y = _WideConv3D(self.filters, stride=_pair(self.stride, ndim)[0],

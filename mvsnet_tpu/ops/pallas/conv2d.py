@@ -1,0 +1,197 @@
+"""3x3 2D conv as per-row wide-N matmuls (Pallas TPU).
+
+The 2D sibling of ops/pallas/conv3d.py, for the small-channel convs in the
+ConvGRU regularizer cells (models/gru.py; reference: convgru.py:54-121)
+and the UNetDS2GN feature tower (reference: mvsnetworks.py:53-115). XLA
+lowers these at ~1-7 TF/s on v5e because Cin and Cout both pad to the
+128-lane MXU per tap.
+
+Per source row, ONE matmul computes every tap contribution:
+
+  P[(dy, co), x] = sum_{dx, ci} W2[(dy, co), (dx, ci)] * x[ys, x + dx - 1, ci]
+
+with K = (dx, Cin) and the (dy, co) pairs on sublanes; the dy taps land on
+output rows ys + 1 - dy by pure row indexing into a staging scratch.
+Everything is channel-second-minor — the input arrives pre-transposed to
+(B, H, C, W) — because (…, W, Cout<128) VMEM tiles pad their minor dim to
+128 lanes (measured 16x blowups in the 3D kernel's first attempt).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 100 * 2 ** 20
+_ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                   vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _make_kernel2d(H: int, W: int, C: int, Cout: int):
+    def kernel(x_ref, w_ref, out_ref, st_ref):
+        # x_ref: (1, H, C, W) one image, channel-second-minor;
+        # w_ref: (3*Cout, 3*C) with rows (dy, co) and cols (dx, ci);
+        # out_ref: (1, H, Cout, W); st_ref: (H+2, Cout, W) f32 staging
+        # with one pad row on each side.
+        st_ref[...] = jnp.zeros_like(st_ref)
+        w = w_ref[...]
+
+        def row(i, _):
+            x = x_ref[0, pl.ds(i, 1)].reshape(C, W)
+            zc = jnp.zeros((C, 1), x.dtype)
+            # dx shifts along LANES; each shift is its own value
+            left = jnp.concatenate([zc, x[:, :W - 1]], axis=1)
+            right = jnp.concatenate([x[:, 1:], zc], axis=1)
+            cat = jnp.concatenate([left, x, right], axis=0)   # (3C, W)
+            P = jax.lax.dot_general(
+                w, cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (3*Cout, W)
+            for dy in range(3):
+                blk = P[dy * Cout:(dy + 1) * Cout]            # (Cout, W)
+                # target row y = i + 1 - dy, +1 staging pad
+                st_ref[pl.ds(i + 2 - dy, 1)] += blk[None]
+            return 0
+
+        jax.lax.fori_loop(0, H, row, 0)
+
+        # emit in modest static chunks (a whole-image value would spill)
+        eb = 16
+        for r0 in range(0, H, eb):
+            r1 = min(r0 + eb, H)
+            out_ref[0, r0:r1] = st_ref[1 + r0:1 + r1].astype(out_ref.dtype)
+
+    return kernel
+
+
+def _fits(H: int, W: int, C: int, Cout: int, item: int) -> bool:
+    wpad = -(-W // 128) * 128
+    cpad = -(-C // 8) * 8
+    copad = -(-Cout // 8) * 8
+    xblk = 2 * H * cpad * wpad * item
+    st = (H + 2) * copad * wpad * 4
+    out = 2 * H * copad * wpad * item
+    return xblk + st + out < _VMEM_LIMIT - 8 * 2 ** 20
+
+
+def _num_bands(H: int, W: int, C: int, Cout: int, item: int) -> int:
+    """Split H into halo'd bands until one band fits VMEM (0 = give up)."""
+    nb = 1
+    while nb <= 16:
+        if H % nb == 0 and _fits(H // nb + 2, W, C, Cout, item):
+            return nb
+        nb *= 2
+    return 0
+
+
+def rowconv2d_supported(H: int, W: int, C: int, Cout: int,
+                        dtype=jnp.bfloat16) -> bool:
+    """Shape/VMEM gate (H-banding makes big images fit)."""
+    item = jnp.dtype(dtype).itemsize
+    return (H >= 3 and W % 8 == 0 and C <= 64 and Cout <= 64
+            and _num_bands(H, W, C, Cout, item) > 0)
+
+
+def _weights_wide2d(kernel):
+    """(3,3,Cin,Cout) -> (3*Cout, 3*Cin): W2[(dy,co),(dx,ci)]."""
+    kh, kw, cin, cout = kernel.shape
+    return jnp.transpose(kernel, (0, 3, 1, 2)).reshape(kh * cout, kw * cin)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rowconv2d_fwd_impl(x, kernel, interpret: bool = False):
+    B, H, W, C = x.shape
+    cout = kernel.shape[-1]
+    w2 = _weights_wide2d(kernel)
+    xt = jnp.transpose(x, (0, 1, 3, 2))                 # (B, H, C, W)
+    nb = _num_bands(H, W, C, cout, jnp.dtype(x.dtype).itemsize) or 1
+    hb = H // nb
+
+    def call(xb, hband):
+        return pl.pallas_call(
+            _make_kernel2d(hband, W, C, cout),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, hband, C, W), lambda g: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * cout, 3 * C), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, hband, cout, W),
+                                   lambda g: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, hband, cout, W), x.dtype),
+            scratch_shapes=[pltpu.VMEM((hband + 2, cout, W), jnp.float32)],
+            interpret=interpret,
+            compiler_params=_ARBITRARY1,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * hband * W * 9 * C * cout,
+                bytes_accessed=hband * W * (C + cout) * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(xb[None], w2.astype(x.dtype))
+
+    def one(xb):
+        if nb == 1:
+            return call(xb, H)
+        # halo'd H-bands: band edges at the image boundary see zero pad
+        # (same as the full conv); interior edges get one real halo row
+        parts = []
+        for i in range(nb):
+            lo = i * hb
+            s, e = max(lo - 1, 0), min(lo + hb + 1, H)
+            bo = call(xb[s:e], e - s)
+            parts.append(bo[:, lo - s:lo - s + hb])
+        return jnp.concatenate(parts, axis=1)
+
+    out = jnp.concatenate([one(xt[b]) for b in range(B)], axis=0)
+    return jnp.transpose(out, (0, 1, 3, 2))             # (B, H, W, Cout)
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _xla_conv2d(x, kernel):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, kernel, (1, 1), "SAME",
+                                        dimension_numbers=dn)
+
+
+def rowconv2d_interpret(x, kernel):
+    return _rowconv2d_fwd_impl(x, kernel, interpret=True)
+
+
+def _flip2d(kernel):
+    return jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+
+
+@jax.custom_vjp
+def rowconv2d(x, kernel):
+    """SAME stride-1 3x3 conv, (B, H, W, Cin) @ (3,3,Cin,Cout).
+
+    Drop-in for lax.conv_general_dilated(..., (1,1), 'SAME') NHWC/HWIO.
+    Differentiable: dx reuses the kernel with the flipped filter; dk uses
+    XLA's native wgrad.
+    """
+    return _rowconv2d_fwd_impl(x, kernel, interpret=_auto_interpret())
+
+
+def _vjp2d_fwd(x, kernel):
+    return _rowconv2d_fwd_impl(x, kernel, interpret=_auto_interpret()), (x, kernel)
+
+
+def _vjp2d_bwd(res, g):
+    x, kernel = res
+    g = g.astype(x.dtype)
+    dx = _rowconv2d_fwd_impl(g, _flip2d(kernel), interpret=_auto_interpret())
+    _, wgrad = jax.vjp(lambda k: _xla_conv2d(x, k), kernel)
+    (dk,) = wgrad(g)
+    return dx, dk
+
+
+rowconv2d.defvjp(_vjp2d_fwd, _vjp2d_bwd)

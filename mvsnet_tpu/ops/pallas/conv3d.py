@@ -55,10 +55,9 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
         # out_ref: (1, H, Cout, W) output slab max(g-1, 0) — the wrapper
         #   transposes back to NDHWC;
         # acc_ref: (3, H, Cout, W) f32 revolving accumulator, slot(z) = z%3;
-        # dz_ref: (3, H+2, Cout, W) f32 per-dz staging with one pad row on
-        #   each side (source row i writes its dy tap at row i + 2 - dy, so
-        #   no edge clamping; dz stays a python int because a
-        #   [dynamic, static-slice] ref access lowers as a >2D gather).
+        # dz_ref: (3, H, Cout, W) f32 per-dz staging (dz stays a python int
+        #   because a [dynamic, static-slice] ref access lowers as a >2D
+        #   gather in Mosaic).
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -73,11 +72,11 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
 
         @pl.when(g < D)
         def _():
-            dz_ref[...] = jnp.zeros_like(dz_ref)
             w = w_ref[...]
 
-            def row(i, _):
-                x = x_ref[0, pl.ds(i, 1)].reshape(W, C)
+            def tap_matmul(i):
+                # P(i)[(dz,dy,co), x] for source row i (zeros past the edge)
+                x = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(W, C)
                 zero = jnp.zeros((1, C), x.dtype)
                 # dx shifts run along SUBLANES of the (W, C) row; each is
                 # its own value (slices of one padded tensor carry offsets
@@ -88,22 +87,30 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
                 P = jax.lax.dot_general(
                     w, cat, (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (9*Cout, W)
-                for dz in range(3):
-                    for dy in range(3):
-                        blk = P[(dz * 3 + dy) * Cout:
-                                (dz * 3 + dy + 1) * Cout]    # (Cout, W)
-                        # target row y = i + 1 - dy, +1 staging pad
-                        dz_ref[dz, pl.ds(i + 2 - dy, 1)] += blk[None]
-                return 0
+                return jnp.where(i < H, P, 0.0)
 
-            jax.lax.fori_loop(0, H, row, 0)
+            # P-ring over output rows: out(y) reads P(y-1), P(y), P(y+1),
+            # so each source row is matmul'ed ONCE and each staging row is
+            # written ONCE (no read-modify-write, no zeroing pass).
+            def row(y, carry):
+                p_prev, p_cur = carry                        # P(y-1), P(y)
+                p_next = tap_matmul(y + 1)
+                for dz in range(3):
+                    acc = (p_prev[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
+                           + p_cur[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
+                           + p_next[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout])
+                    dz_ref[dz, pl.ds(y, 1)] = acc[None]
+                return p_cur, p_next
+
+            p0 = jnp.zeros((9 * Cout, W), jnp.float32)
+            jax.lax.fori_loop(0, H, row, (p0, tap_matmul(0)))
 
             for dz in range(3):
                 z = g + 1 - dz
 
                 @pl.when((z >= 0) & (z < D))
                 def _(dz=dz, z=z):
-                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1, 1:H + 1]
+                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
 
         @pl.when(g > 0)
         def _():
@@ -139,36 +146,35 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
 
         @pl.when(g < D)
         def _():
-            dz_ref[...] = jnp.zeros_like(dz_ref)
             w = w_ref[...]
 
-            def row(i, _):
-                # source row i = 2t + p: dy taps with dy % 2 == p hit
-                # output rows t (dy < 2) and t - 1 (dy == 2).
+            def tap_matmul(i):
                 # x_ref comes pre-reshaped to (1, H, W/2, 2C) XLA-side: a
                 # (W, C) -> (W/2, 2C) shape cast inside the kernel is
                 # unsupported by Mosaic's layout inference.
-                x2 = x_ref[0, pl.ds(i, 1)].reshape(W2, 2 * C)
+                x2 = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(
+                    W2, 2 * C)
                 nxt_full = jnp.concatenate(
                     [x2[1:], jnp.zeros((1, 2 * C), x2.dtype)], axis=0)
                 cat = jnp.concatenate([x2, nxt_full[:, :C]], axis=1)
                 P = jax.lax.dot_general(
                     w, cat, (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (9*Cout, W2)
-                t = i // 2
-                p = i % 2
-                for dy in range(3):
-                    tgt = t + 1 if dy < 2 else t            # +1 staging pad
+                return jnp.where(i < H, P, 0.0)
 
-                    @pl.when(dy % 2 == p)
-                    def _(dy=dy, tgt=tgt):
-                        for dz in range(3):
-                            blk = P[(dz * 3 + dy) * Cout:
-                                    (dz * 3 + dy + 1) * Cout]
-                            dz_ref[dz, pl.ds(tgt, 1)] += blk[None]
-                return 0
+            # out(t) reads source rows 2t+dy: P(2t) carried from the
+            # previous iteration (as its P(2t'+2)), P(2t+1)/P(2t+2) fresh.
+            def row(t, p_even):
+                p_odd = tap_matmul(2 * t + 1)
+                p_nxt = tap_matmul(2 * t + 2)
+                for dz in range(3):
+                    acc = (p_even[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
+                           + p_odd[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
+                           + p_nxt[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout])
+                    dz_ref[dz, pl.ds(t, 1)] = acc[None]
+                return p_nxt
 
-            jax.lax.fori_loop(0, H, row, 0)
+            jax.lax.fori_loop(0, H2, row, tap_matmul(0))
 
             for dz in range(3):
                 # z' = (g - dz) / 2 when parity matches
@@ -176,7 +182,7 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
                          & ((g - dz) // 2 < D // 2))
                 def _(dz=dz):
                     slot = pl.ds(((g - dz) // 2) % 2, 1)
-                    acc_ref[slot] += dz_ref[dz:dz + 1, 1:H2 + 1]
+                    acc_ref[slot] += dz_ref[dz:dz + 1]
 
         @pl.when((g >= 2) & (g % 2 == 0))
         def _():
@@ -198,7 +204,10 @@ def rowconv3d_supported(D: int, H: int, W: int, C: int, Cout: int,
     scratch = 6 * H * copad * wpad * 4          # 3-slot acc + 3-slot staging
     out = 2 * H * copad * wpad * item
     total = slab + scratch + out
-    return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32
+    # Cout % 8: the P-ring combine slices the (9*Cout, W) tap matrix at
+    # Cout-strides — unaligned sublane offsets force relayouts (measured
+    # 2.3x slower than XLA at Cout=1; XLA wins that case anyway).
+    return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32 and Cout % 8 == 0
             and total < _VMEM_LIMIT - 8 * 2 ** 20)
 
 
@@ -224,7 +233,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
                                 lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((3, H, cout, W), jnp.float32),
-                   pltpu.VMEM((3, H + 2, cout, W), jnp.float32)]
+                   pltpu.VMEM((3, H, cout, W), jnp.float32)]
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
         kern = _make_kernel_s2(D, H, W, C, cout)
@@ -233,7 +242,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
                                 lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((2, H // 2, cout, W // 2), jnp.float32),
-                   pltpu.VMEM((3, H // 2 + 2, cout, W // 2), jnp.float32)]
+                   pltpu.VMEM((3, H // 2, cout, W // 2), jnp.float32)]
 
     if stride == 2:
         x = x.reshape(B, D, H, W // 2, 2 * C)

@@ -215,7 +215,8 @@ class TestRowConv3D:
 
         # the 3DCNN operating point layers
         assert rowconv3d_supported(192, 216, 288, 32, 8)
-        assert rowconv3d_supported(192, 216, 288, 8, 1)
+        # Cout=1 (prob conv): unaligned ring slices — XLA is faster there
+        assert not rowconv3d_supported(192, 216, 288, 8, 1)
         assert rowconv3d_supported(96, 108, 144, 16, 16)
         # 64-channel level-3 falls back to XLA
         assert not rowconv3d_supported(24, 27, 36, 64, 64)
@@ -247,6 +248,59 @@ class TestRowConv3D:
             lambda a, b: jnp.sum(_xla_conv3d(a, b, 2) * g), (0, 1))(x, k)
         gx2, gk2 = jax.grad(
             lambda a, b: jnp.sum(rowconv3d(a, b, 2) * g), (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                   atol=2e-4, rtol=1e-5)
+
+
+class TestRowConv2D:
+    """Per-row wide-N 2D conv kernel (ops/pallas/conv2d.py) vs XLA."""
+
+    @pytest.mark.parametrize("cin,cout", [(48, 32), (48, 16), (8, 8), (3, 8)])
+    def test_matches_xla_conv(self, cin, cout):
+        from mvsnet_tpu.ops.pallas.conv2d import (
+            _xla_conv2d,
+            rowconv2d_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 12, 24, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(rowconv2d_interpret(x, k)),
+                                   np.asarray(_xla_conv2d(x, k)),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_banded_matches_whole(self):
+        """H-banding (VMEM overflow fallback) is exact: force banding by
+        shrinking the VMEM limit."""
+        import unittest.mock as mock
+
+        from mvsnet_tpu.ops.pallas import conv2d
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 16, 24, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+        ref = np.asarray(conv2d._xla_conv2d(x, k))
+        with mock.patch.object(conv2d, "_VMEM_LIMIT",
+                               8 * 2 ** 20 + 200 * 1024):
+            nb = conv2d._num_bands(16, 24, 8, 8, 4)
+            got = np.asarray(conv2d.rowconv2d_interpret(x, k))
+        assert nb > 1
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_grads_match_xla(self):
+        from mvsnet_tpu.ops.pallas.conv2d import _xla_conv2d, rowconv2d
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 12, 24, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, 12, 24, 8)), jnp.float32)
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(_xla_conv2d(a, b) * g), (0, 1))(x, k)
+        gx2, gk2 = jax.grad(
+            lambda a, b: jnp.sum(rowconv2d(a, b) * g), (0, 1))(x, k)
         np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
                                    atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),

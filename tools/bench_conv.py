@@ -186,7 +186,7 @@ def regnet3d_ndhwc(x, ws):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="2d",
-                    choices=["2d", "3d", "pallas3d"])
+                    choices=["2d", "3d", "pallas3d", "pallas2d"])
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -218,6 +218,30 @@ def main():
         a = np.asarray(stack_nhwc(x[:1, :64, :64], ws), np.float32)
         b = np.asarray(stack_im2col(x[:1, :64, :64], ws), np.float32)
         print("im2col vs conv max abs err:", float(np.abs(a - b).max()))
+    elif args.case == "pallas2d":
+        # feature-net / GRU 3x3 s1 layers: per-row Pallas kernel vs XLA
+        import jax
+
+        from mvsnet_tpu.ops.pallas.conv2d import _xla_conv2d, rowconv2d
+        cases = [
+            ("2dconv0_1 8->8 full", (3, 864, 1152, 8)),
+            ("2dconv8_2 16->8 full", (3, 864, 1152, 16), 8),
+            ("2dconv1_1 16->16 1/2", (3, 432, 576, 16)),
+            ("2dconv2_1 32->32 1/4", (3, 216, 288, 32)),
+            ("gru cell 48->32 1/4", (1, 296, 400, 48), 32),
+        ]
+        for case in cases:
+            name, xs = case[0], case[1]
+            cout = case[2] if len(case) > 2 else xs[-1]
+            x = jnp.asarray(rng.standard_normal(xs), dt)
+            w_ = jnp.asarray(
+                rng.standard_normal((3, 3, xs[-1], cout)) * 0.1, dt)
+            fl = 2 * np.prod(xs[:3]) * 9 * xs[-1] * cout
+            for tag, fn in (("xla", _xla_conv2d), ("pallas", rowconv2d)):
+                t = timed(fn, x, w_)
+                print(f"{name:24s} {tag:6s} {t*1e3:7.2f} ms  ({fl/1e9:6.1f} GF"
+                      f" -> {fl/t/1e12:5.1f} TF/s)", flush=True)
+                results[f"{name} {tag}"] = round(t, 5)
     elif args.case == "pallas3d":
         # the per-slab wide-N Pallas kernel vs the same layers
         from mvsnet_tpu.ops.pallas.conv3d import rowconv3d
