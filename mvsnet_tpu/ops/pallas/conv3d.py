@@ -51,7 +51,9 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
     the dy shift is pure row indexing into the staging scratch."""
 
     def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
-        # x_ref: (1, H, W, C) source slab min(g, D-1); w_ref: (3*C, 9*Cout);
+        # x_ref: (1, H, C, W) source slab min(g, D-1), channel-second-minor
+        #   (a (W, C<=40) block would pad C to 128 lanes: 4x the DMA and
+        #   VPU read traffic at C=32); w_ref: (9*Cout, 3*C);
         # out_ref: (1, H, Cout, W) output slab max(g-1, 0) — the wrapper
         #   transposes back to NDHWC;
         # acc_ref: (3, H, Cout, W) f32 revolving accumulator, slot(z) = z%3;
@@ -76,16 +78,14 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
 
             def tap_matmul(i):
                 # P(i)[(dz,dy,co), x] for source row i (zeros past the edge)
-                x = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(W, C)
-                zero = jnp.zeros((1, C), x.dtype)
-                # dx shifts run along SUBLANES of the (W, C) row; each is
-                # its own value (slices of one padded tensor carry offsets
-                # Mosaic's lane-concat rejects)
-                left = jnp.concatenate([zero, x[:W - 1]], axis=0)
-                right = jnp.concatenate([x[1:], zero], axis=0)
-                cat = jnp.concatenate([left, x, right], axis=1)  # (W, 3C)
+                x = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(C, W)
+                zero = jnp.zeros((C, 1), x.dtype)
+                # dx shifts run along LANES of the (C, W) row
+                left = jnp.concatenate([zero, x[:, :W - 1]], axis=1)
+                right = jnp.concatenate([x[:, 1:], zero], axis=1)
+                cat = jnp.concatenate([left, x, right], axis=0)  # (3C, W)
                 P = jax.lax.dot_general(
-                    w, cat, (((0,), (1,)), ((), ())),
+                    w, cat, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (9*Cout, W)
                 return jnp.where(i < H, P, 0.0)
 
@@ -194,20 +194,23 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
 
 def rowconv3d_supported(D: int, H: int, W: int, C: int, Cout: int,
                         dtype=jnp.bfloat16) -> bool:
-    """VMEM model with tile padding: the NDHWC input block pads C to 128
-    lanes; the channel-second-minor scratches pad W to 128 lanes and Cout
-    to 8 sublanes."""
+    """VMEM model with tile padding: everything is channel-second-minor
+    (W pads to 128 lanes; C / Cout pad to 8 sublanes) except the stride-2
+    input block, which stays (W/2, 2C) lane-minor (2C pads to 128)."""
     item = jnp.dtype(dtype).itemsize
     wpad = -(-W // 128) * 128
     copad = -(-Cout // 8) * 8
-    slab = 2 * H * W * 128 * item               # double-buffered input block
+    cpad = -(-C // 8) * 8
+    slab = 2 * H * max(cpad * wpad, (W // 2) * 128) * item  # dbl-buffered
     scratch = 6 * H * copad * wpad * 4          # 3-slot acc + 3-slot staging
     out = 2 * H * copad * wpad * item
     total = slab + scratch + out
-    # Cout % 8: the P-ring combine slices the (9*Cout, W) tap matrix at
-    # Cout-strides — unaligned sublane offsets force relayouts (measured
-    # 2.3x slower than XLA at Cout=1; XLA wins that case anyway).
-    return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32 and Cout % 8 == 0
+    # Cout: ring slices of the (9*Cout, W) tap matrix sit at Cout-strided
+    # sublane offsets; 8-aligned and single-row (Cout=1, measured 9.8 ms vs
+    # XLA 24.7 at the prob-conv shape) are cheap, other unaligned strides
+    # relayout (Cout=1 measured 2.3x slower under the old lane-minor input).
+    return (D >= 2 and W % 8 == 0 and C <= 40 and Cout <= 32
+            and (Cout % 8 == 0 or Cout == 1)
             and total < _VMEM_LIMIT - 8 * 2 ** 20)
 
 
@@ -234,6 +237,9 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
                                 memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((3, H, cout, W), jnp.float32),
                    pltpu.VMEM((3, H, cout, W), jnp.float32)]
+        # channel-second-minor input + (9Cout, 3C) weights
+        x = jnp.transpose(x, (0, 1, 2, 4, 3))
+        wr = wr.T
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
         kern = _make_kernel_s2(D, H, W, C, cout)
@@ -256,7 +262,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
                 pl.BlockSpec((1,) + in_block,
                              lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * C, 9 * cout), lambda g: (0, 0),
+                pl.BlockSpec(wr.shape, lambda g: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec,

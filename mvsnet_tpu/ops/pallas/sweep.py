@@ -288,8 +288,8 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
 
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
         iota_j = iota_j.astype(jnp.float32)
-        sub_r = jax.lax.broadcasted_iota(jnp.int32, (BAND * C, W), 0) // C
-        sub_r = sub_r.astype(jnp.float32)                    # (BAND*C, W)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, W), 0)
+        iota_b = iota_b.astype(jnp.float32)                  # (BAND, W)
 
         for y in range(ROWS_PER_CELL):
             s = None
@@ -308,17 +308,20 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
                         slab, wx, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision)                 # (BAND*C, x)
-                    rows = start.astype(jnp.float32) + sub_r
+                    # vertical tent built COMPACT at (BAND, W) — 2 vregs
+                    # instead of a (BAND*C, W) f32 weight matrix (72 vregs
+                    # built + 72 multiplied + sliced-reduced per block) —
+                    # and applied as BAND sublane-broadcast FMAs.
+                    rows = start.astype(jnp.float32) + iota_b
                     rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow))
                     if masked is not None:
                         lo, hi = masked
                         keep = ((rows >= lo.astype(jnp.float32))
                                 & (rows <= hi.astype(jnp.float32)))
                         rw = jnp.where(keep, rw, 0.0)
-                    prod = hw * rw
-                    acc = prod[0:C, :]
+                    acc = rw[0:1, :] * hw[0:C, :]
                     for r in range(1, BAND):
-                        acc = acc + prod[r * C:(r + 1) * C, :]
+                        acc = acc + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
                     return acc                               # (C, W)
 
                 warped = block(rbase, None)

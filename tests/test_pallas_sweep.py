@@ -215,9 +215,10 @@ class TestRowConv3D:
 
         # the 3DCNN operating point layers
         assert rowconv3d_supported(192, 216, 288, 32, 8)
-        # Cout=1 (prob conv): unaligned ring slices — XLA is faster there
-        assert not rowconv3d_supported(192, 216, 288, 8, 1)
+        assert rowconv3d_supported(192, 216, 288, 8, 1)
         assert rowconv3d_supported(96, 108, 144, 16, 16)
+        # unaligned multi-row tap slices relayout: keep those on XLA
+        assert not rowconv3d_supported(96, 108, 144, 16, 4)
         # 64-channel level-3 falls back to XLA
         assert not rowconv3d_supported(24, 27, 36, 64, 64)
 
