@@ -65,8 +65,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mvsnet_tpu.ops.warp import projected_coords
 
+import os as _os
+
 ROWS_PER_CELL = 8
-BAND = 8
+# Vertical band granularity (env-tunable for experiments). Measured at
+# the 3DCNN point (span mean 9.1): BAND=8 94.6 ms, BAND=4 120.5 ms —
+# fewer, larger vertical blocks beat finer ones despite ~20% more padded
+# MXU slots, because per-block overheads (slab read, tent build, loop
+# step) dominate; BAND=16 would blow the preload VMEM scratch.
+BAND = int(_os.environ.get("MVSNET_TPU_SWEEP_BAND", "8"))
 
 # v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
 # limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep
@@ -243,39 +250,42 @@ def _band_cats(src):
     return sh.reshape(H, W, BAND * C)
 
 
-def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
-    """Fused warp+variance kernel, slab-table edition.
+def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
+                              NT: int, KBLK: int):
+    """Fused warp+variance kernel, tiled slab-table edition.
 
-    Differences from _make_cost_kernel (the round-2a layout):
-      * The horizontal matmul outputs (BAND*C, x) instead of (x, BAND*C):
-        the vertical-tent combine becomes 8 SUBLANE-aligned (C, W) adds
-        instead of 8 lane-slices at non-lane-aligned 32-element offsets
-        (each of which cost a cross-lane shuffle of the whole product).
+    Structure (per output row, per view):
       * Source views are pre-concatenated into (H, W, BAND*C) slab tables
         (XLA-side, _band_cats) and preloaded ONCE into a persistent VMEM
-        scratch by a single DMA at grid cell (0,0); a band of any start is
-        then one dynamic-index read. Round 2a instead rebuilt each band
-        with an 8-way lane-concat per (row, view) — 16+ relayouts per cell.
-      * Band starts/extra-block counts come precomputed from SMEM
-        (XLA-side _band_table) instead of in-kernel vector min/max
-        reductions.
+        scratch by a single DMA at grid cell (0,0); a vertical band of any
+        start is then one dynamic-index read.
+      * The row is split into NT lane-tiles of TW = W/NT columns. Per
+        tile, the horizontal tent matmul contracts only a KBLK-wide
+        source-column window (per-tile jbase from SMEM): the tent matrix
+        wx is x-banded (j ~ x + bounded shift for real rigs), so the
+        (W, W) matmul wastes most of K. Windows beyond KBLK (extreme
+        shear) accumulate via a masked kextra loop, mirroring the
+        vertical nextra loop — zero-trip normally.
+      * Tiling also halves the per-tile VERTICAL span (span is mostly
+        linear in x for rotational rigs): fewer nextra blocks.
+      * The vertical tent is built compact at (BAND, TW) and applied as
+        BAND sublane-broadcast FMAs onto the Cout-aligned tap slices.
       * Outputs are (C, W)-transposed; the wrapper transposes back (a
         cheap HBM-bandwidth pass in XLA).
 
-    Vertical spans beyond BAND (realistic rigs reach span 22 at the
-    3DCNN point) cost extra slab reads + matmuls only for the rows that
-    need them — no DMA, no pipeline restructuring.
+    Band starts / extra-block counts for BOTH axes come precomputed from
+    SMEM (XLA-side _band_table / _hwin_table).
     """
     view_num = view_count_minus_1 + 1
+    TW = W // NT
 
-    def kernel(x_ref, y_ref, rb_ref, ne_ref, reft_ref, cats_hbm,
-               out_ref, cats_vmem, sem):
-        # x/y: (Vm1, 1, ROWS, W) f32; rb/ne: (Vm1, 1, 1, 1, ROWS) i32 in
-        # SMEM (the two unit dims satisfy Mosaic's full-or-divisible block
-        # constraint on the trailing dims);
+    def kernel(x_ref, y_ref, rb_ref, ne_ref, jb_ref, ke_ref, reft_ref,
+               cats_hbm, out_ref, cats_vmem, sem):
+        # x/y: (Vm1, 1, ROWS, W) f32; rb/ne/jb/ke: (Vm1, 1, 1, NT, ROWS)
+        # i32 in SMEM (the two unit dims satisfy Mosaic's
+        # full-or-divisible block constraint on the trailing dims);
         # reft: (ROWS, C, W); cats_hbm: (Vm1, H, W, BAND*C) in ANY;
         # out: (1, ROWS, C, W); cats_vmem: persistent VMEM scratch.
-        W = x_ref.shape[3]
         C = reft_ref.shape[1]
         src_dtype = cats_vmem.dtype
         precision = _precision_for(src_dtype)
@@ -286,52 +296,81 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
             dma.start()
             dma.wait()
 
-        iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-        iota_j = iota_j.astype(jnp.float32)
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, W), 0)
-        iota_b = iota_b.astype(jnp.float32)                  # (BAND, W)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (KBLK, TW), 0)
+        iota_k = iota_k.astype(jnp.float32)                  # (KBLK, TW)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, TW), 0)
+        iota_b = iota_b.astype(jnp.float32)                  # (BAND, TW)
 
         for y in range(ROWS_PER_CELL):
             s = None
             s2 = None
             for v in range(view_count_minus_1):
-                xrow = x_ref[v, 0, y:y + 1, :].reshape(1, W)
-                yrow = y_ref[v, 0, y:y + 1, :].reshape(1, W)
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_j - xrow))
-                wx = wx.astype(src_dtype)                    # (j, x)
-                rbase = rb_ref[v, 0, 0, 0, y]
-                nex = ne_ref[v, 0, 0, 0, y]
+                tiles = []
+                for t in range(NT):
+                    xrow = x_ref[v, 0, y:y + 1, t * TW:(t + 1) * TW]
+                    yrow = y_ref[v, 0, y:y + 1, t * TW:(t + 1) * TW]
+                    rbase = rb_ref[v, 0, 0, t, y]
+                    nex = ne_ref[v, 0, 0, t, y]
+                    jb8 = jb_ref[v, 0, 0, t, y]          # jbase / 8
+                    kex = ke_ref[v, 0, 0, t, y]
 
-                def block(start, masked, wx=wx, yrow=yrow, v=v):
-                    slab = cats_vmem[v, pl.ds(start, 1)].reshape(W, BAND * C)
-                    hw = jax.lax.dot_general(
-                        slab, wx, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)                 # (BAND*C, x)
-                    # vertical tent built COMPACT at (BAND, W) — 2 vregs
-                    # instead of a (BAND*C, W) f32 weight matrix (72 vregs
-                    # built + 72 multiplied + sliced-reduced per block) —
-                    # and applied as BAND sublane-broadcast FMAs.
-                    rows = start.astype(jnp.float32) + iota_b
-                    rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow))
-                    if masked is not None:
-                        lo, hi = masked
-                        keep = ((rows >= lo.astype(jnp.float32))
-                                & (rows <= hi.astype(jnp.float32)))
-                        rw = jnp.where(keep, rw, 0.0)
-                    acc = rw[0:1, :] * hw[0:C, :]
-                    for r in range(1, BAND):
-                        acc = acc + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
-                    return acc                               # (C, W)
+                    def hwin(start, jb8k, jlo, xrow=xrow, v=v):
+                        # one (vertical band, K-window) tap matmul;
+                        # jb8k*8 keeps the W-dim slice provably 8-aligned
+                        jb0 = jb8k * 8
+                        slab = cats_vmem[v, pl.ds(start, 1),
+                                         pl.ds(jb0, KBLK)]
+                        slab = slab.reshape(KBLK, BAND * C)
+                        cols = jb0.astype(jnp.float32) + iota_k
+                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols - xrow))
+                        if jlo is not None:
+                            # clamped extra window: drop cols the previous
+                            # window already covered
+                            wx = jnp.where(cols >= jlo.astype(jnp.float32),
+                                           wx, 0.0)
+                        return jax.lax.dot_general(
+                            slab, wx.astype(src_dtype),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)             # (BAND*C, x)
 
-                warped = block(rbase, None)
+                    def block(start, masked, yrow=yrow, jb8=jb8,
+                              kex=kex, hwin=hwin):
+                        hw = hwin(start, jb8, None)
 
-                def extra(k, a, rbase=rbase, block=block):
-                    lo = rbase + k * BAND
-                    start = jnp.minimum(lo, H - BAND)
-                    return a + block(start, (lo, lo + (BAND - 1)))
+                        def hextra(k, a, start=start, jb8=jb8,
+                                   hwin=hwin):
+                            jlo8 = jb8 + k * (KBLK // 8)
+                            jb8k = jnp.minimum(jlo8, (W - KBLK) // 8)
+                            return a + hwin(start, jb8k, jlo8 * 8)
 
-                warped = jax.lax.fori_loop(1, nex + 1, extra, warped)
+                        hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
+                        # vertical tent, compact (BAND, TW), applied as
+                        # sublane-broadcast FMAs on Cout-aligned slices
+                        rows = start.astype(jnp.float32) + iota_b
+                        rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow))
+                        if masked is not None:
+                            lo, hi = masked
+                            keep = ((rows >= lo.astype(jnp.float32))
+                                    & (rows <= hi.astype(jnp.float32)))
+                            rw = jnp.where(keep, rw, 0.0)
+                        acc = rw[0:1, :] * hw[0:C, :]
+                        for r in range(1, BAND):
+                            acc = acc + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
+                        return acc                           # (C, TW)
+
+                    warped_t = block(rbase, None)
+
+                    def extra(k, a, rbase=rbase, block=block):
+                        lo = rbase + k * BAND
+                        start = jnp.minimum(lo, H - BAND)
+                        return a + block(start, (lo, lo + (BAND - 1)))
+
+                    tiles.append(jax.lax.fori_loop(1, nex + 1, extra,
+                                                   warped_t))
+
+                warped = tiles[0] if NT == 1 else jnp.concatenate(tiles,
+                                                                  axis=1)
                 if s is None:
                     s, s2 = warped, warped * warped
                 else:
@@ -346,6 +385,53 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int):
             out_ref[0, y] = cost.astype(out_ref.dtype)
 
     return kernel
+
+
+def _tile_params(W: int):
+    """(NT, TW, KBLK): lane-tile count, tile width, K-window width.
+
+    KBLK = tile width + 64 slack columns for the x-shift range (larger
+    shifts fall into the masked kextra loop, still exact). NT is chosen
+    by a padded-MAC-slot model: the MXU pads N to 128-lane multiples, so
+    tiling only pays when K shrinks faster than the N padding grows
+    (measured: W=288 NT=2 ran 110 ms vs 94.6 untiled — TW=144 pads to
+    256; W=400 tiles win). A 12% per-extra-tile penalty accounts for the
+    duplicated per-tile wx/rw/loop overheads."""
+    def kblk(tw):
+        return min(W, -(-(tw + 64) // 8) * 8)
+
+    forced = _os.environ.get("MVSNET_TPU_SWEEP_NT")
+    if forced:
+        NT = int(forced)
+        return NT, W // NT, kblk(W // NT)
+
+    def slots(nt):
+        tw = W // nt
+        npad = -(-tw // 128) * 128
+        return nt * kblk(tw) * npad * (1.0 + 0.12 * (nt - 1))
+
+    best = 1
+    for nt in (2, 4):
+        if W % (nt * 8) == 0 and W // nt >= 128 and slots(nt) < slots(best):
+            best = nt
+    TW = W // best
+    return best, TW, kblk(TW)
+
+
+def _hwin_table(x, W, KBLK):
+    """Horizontal K-window table over the last (tile-column) axis.
+
+    x: (..., TW) f32 source x coordinates.
+    Returns (jbase, kextra) int32: first window start (8-aligned, clamped
+    to [0, W-KBLK]) and how many further masked windows cover the rest
+    (0 unless the in-tile x-span exceeds KBLK)."""
+    jlo = jnp.clip(jnp.floor(jnp.min(x, axis=-1)), 0.0, float(W - 1))
+    jhi = jnp.clip(jnp.floor(jnp.max(x, axis=-1)) + 1.0, 0.0, float(W - 1))
+    # jbase travels as jbase/8: the kernel rebuilds jbase = jb8 * 8, which
+    # is how Mosaic statically proves the W-dim slice is 8-aligned.
+    jb8 = jnp.minimum(jlo.astype(jnp.int32) // 8, (W - KBLK) // 8)
+    kextra = jnp.maximum(0, (jhi.astype(jnp.int32) - jb8 * 8) // KBLK)
+    return jb8, kextra
 
 
 def _preload_cost_supported(height, width, channels, view_count_minus_1,
@@ -365,6 +451,23 @@ def _preload_cost_supported(height, width, channels, view_count_minus_1,
             and scratch + work < budget)
 
 
+def _preload_cchunk(height, width, channels, view_count_minus_1,
+                    dtype=jnp.bfloat16) -> int:
+    """Largest channel chunk whose slab tables fit VMEM (0 = none).
+
+    The variance cost is per-channel independent, so when the full-C
+    tables overflow (the GRU point: 2 x 296x400x(8*32) bf16 = 121 MiB)
+    the wrapper runs the kernel per C-chunk and concatenates — same
+    numerics, one extra pass over the coords."""
+    c = channels
+    while c >= 8 and channels % c == 0:
+        if _preload_cost_supported(height, width, c, view_count_minus_1,
+                                   dtype):
+            return c
+        c //= 2
+    return 0
+
+
 def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
                                 interpret: bool = False):
     """Slab-table fused cost volume (the Vm1<=2 fast path)."""
@@ -372,33 +475,48 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
     Vm1, D = homographies.shape[:2]
     assert H % ROWS_PER_CELL == 0 and H >= BAND
 
+    cchunk = _preload_cchunk(H, W, C, Vm1, view_features.dtype) or C
+    if cchunk < C:
+        parts = [
+            _pallas_cost_volume_preload(
+                ref_feature[..., c0:c0 + cchunk],
+                view_features[..., c0:c0 + cchunk],
+                homographies, interpret=interpret)
+            for c0 in range(0, C, cchunk)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
     def coords(h):                                   # (D, 3, 3)
         x, y = projected_coords(h, H, W)
         return x.reshape(D, H, W), y.reshape(D, H, W)
 
     x, y = jax.vmap(coords)(homographies)            # (Vm1, D, H, W) f32
-    rbase, nextra = _band_table(y, H)                # (Vm1, D, H) i32
+    NT, TW, KBLK = _tile_params(W)
     rows_blocks = H // ROWS_PER_CELL
-    rbase = rbase.reshape(Vm1, D, rows_blocks, 1, ROWS_PER_CELL)
-    nextra = nextra.reshape(Vm1, D, rows_blocks, 1, ROWS_PER_CELL)
+    xt = x.reshape(Vm1, D, H, NT, TW)
+    rbase, nextra = _band_table(y.reshape(Vm1, D, H, NT, TW), H)
+    jbase, kextra = _hwin_table(xt, W, KBLK)         # (Vm1, D, H, NT) i32
+
+    def tbl(a):                                      # -> (.., RB, NT, ROWS)
+        a = a.reshape(Vm1, D, rows_blocks, ROWS_PER_CELL, NT)
+        return jnp.transpose(a, (0, 1, 2, 4, 3))
+
     cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
     reft = jnp.transpose(ref_feature, (0, 2, 1))     # (H, C, W)
 
     grid = (D, H // ROWS_PER_CELL)
+    smem_spec = pl.BlockSpec((Vm1, 1, 1, NT, ROWS_PER_CELL),
+                             lambda d, rb: (0, d, rb, 0, 0),
+                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        _make_cost_kernel_preload(Vm1, H),
+        _make_cost_kernel_preload(Vm1, H, W, NT, KBLK),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
                          lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
                          lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Vm1, 1, 1, 1, ROWS_PER_CELL),
-                         lambda d, rb: (0, d, rb, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((Vm1, 1, 1, 1, ROWS_PER_CELL),
-                         lambda d, rb: (0, d, rb, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_spec, smem_spec, smem_spec, smem_spec,
             pl.BlockSpec((ROWS_PER_CELL, C, W), lambda d, rb: (rb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -414,13 +532,13 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
         interpret=interpret,
         compiler_params=_ARBITRARY2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * D * H * W * W * BAND * C * Vm1,
+            flops=2 * D * H * W * KBLK * BAND * C * Vm1,
             bytes_accessed=(D * H * W * C * ref_feature.dtype.itemsize
                             + Vm1 * H * W * BAND * C
                             * view_features.dtype.itemsize),
             transcendentals=0,
         ),
-    )(x, y, rbase, nextra, reft, cats)
+    )(x, y, tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra), reft, cats)
     return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, H, W, C)
 
 
@@ -457,7 +575,7 @@ def _blockres_cost_supported(height: int, width: int, channels: int,
 def pallas_cost_supported(height: int, width: int, channels: int,
                           view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
     """Whether SOME fused cost kernel (slab-table or block-resident) fits."""
-    if view_count_minus_1 <= 2 and _preload_cost_supported(
+    if view_count_minus_1 <= 2 and _preload_cchunk(
             height, width, channels, view_count_minus_1, dtype):
         return True
     return _blockres_cost_supported(height, width, channels,
@@ -653,8 +771,7 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     """
     H, W, C = ref_feature.shape
     Vm1 = homographies.shape[0]
-    if Vm1 <= 2 and _preload_cost_supported(H, W, C, Vm1,
-                                            view_features.dtype):
+    if Vm1 <= 2 and _preload_cchunk(H, W, C, Vm1, view_features.dtype):
         return _pallas_cost_volume_preload(ref_feature, view_features,
                                            homographies, interpret=interpret)
     return _pallas_cost_volume_blockres(ref_feature, view_features,

@@ -83,6 +83,52 @@ def test_fused_cost_volume_matches_xla():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_cost_volume_tiled_wide():
+    """W>=256 engages NT=2 lane-tiles with banded-K windows; a zoomed-out
+    + rotated homography overflows both the K-window (kextra) and the
+    vertical band (nextra) so the masked extra loops are exercised."""
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas.sweep import _tile_params, pallas_sweep_cost_volume
+
+    assert _tile_params(256)[0] == 2
+    rng = np.random.default_rng(7)
+    H, W, C, D, Vm1 = 16, 256, 4, 3, 2
+    ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
+    homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25, shift_range=30.0),
+                      make_homs(D, rot=-0.05)])
+    got = pallas_sweep_cost_volume(ref, views, homs, interpret=True)
+    expected = plane_sweep_cost_volume(ref[None], views[:, None],
+                                       homs[:, None])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_cost_volume_cchunked():
+    """When the slab tables overflow VMEM (GRU point), the preload wrapper
+    splits channels; numerics must match the unsplit kernel exactly."""
+    import unittest.mock as mock
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    rng = np.random.default_rng(8)
+    H, W, C, D, Vm1 = 16, 24, 16, 4, 2
+    ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+    views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
+    homs = jnp.stack([make_homs(D), make_homs(D, rot=-0.03)])
+    expected = plane_sweep_cost_volume(ref[None], views[:, None],
+                                       homs[:, None])[0]
+    table = Vm1 * H * W * sweep.BAND * C * 4            # full-C f32 tables
+    with mock.patch.object(sweep, "_VMEM_LIMIT",
+                           8 * 2 ** 20 + table // 2 + 100 * 1024):
+        assert sweep._preload_cchunk(H, W, C, Vm1, jnp.float32) == C // 2
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_cost_volume_identity_views_zero():
     from mvsnet_tpu.ops.pallas.sweep import pallas_sweep_cost_volume
     rng = np.random.default_rng(4)

@@ -89,6 +89,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--xla", action="store_true", help="also time the XLA gather path")
     ap.add_argument("--small", action="store_true", help="tiny shapes (smoke)")
+    ap.add_argument("--point", default="3dcnn", choices=["3dcnn", "gru"],
+                    help="gru = 1600x1184 feature res (w=400 engages the "
+                         "NT=2 lane-tiled K-banded kernel), one 64-depth "
+                         "chunk of the D=256 sweep")
     ap.add_argument("--skip-warp", action="store_true")
     ap.add_argument("--skip-check", action="store_true")
     ap.add_argument("--yaw", type=float, default=4.0)
@@ -105,6 +109,8 @@ def main():
 
     if args.small:
         H, W, C, D, V = 32, 64, 32, 16, 3
+    elif args.point == "gru":
+        H, W, C, D, V = 296, 400, 32, 64, 3
     else:
         H, W, C, D, V = 216, 288, 32, 192, 3
     depth_start, depth_interval = 425.0, 2.5 * 1.06
