@@ -119,6 +119,104 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
     return kernel
 
 
+def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
+                        PACK: int):
+    """Lane-packed s1 edition: PACK consecutive image rows ride the lane
+    axis, so one tap matmul covers PACK rows and the ~0.3 us/row fixed
+    per-iteration cost (measured flat across layer shapes) amortizes.
+
+    Input arrives XLA-side packed as (D, H/PACK, C, PACK*W): lane index
+    = r*W + x. dx shifts become lane shifts with the row-boundary leak
+    columns masked; the dy ring combine needs source rows t*PACK+r-1 /
+    +1, i.e. the packed P lane-rolled by +-W with the wrapped row
+    stitched in from the neighbouring ring entry.
+    """
+    HP = H // PACK
+    WP = PACK * W
+
+    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
+        # x_ref: (1, HP, C, WP) source slab min(g, D-1);
+        # w_ref: (9*Cout, 3*C);
+        # out_ref: (1, HP, Cout, WP) packed output slab max(g-1, 0) — the
+        #   wrapper unpacks back to NDHWC;
+        # acc_ref: (3, HP, Cout, WP) f32 revolving accumulator;
+        # dz_ref: (3, HP, Cout, WP) f32 per-dz staging.
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(g > 0)
+        def _():
+            acc_ref[pl.ds((g + 1) % 3, 1)] = jnp.zeros((1, HP, Cout, WP),
+                                                       jnp.float32)
+
+        @pl.when(g < D)
+        def _():
+            w = w_ref[...]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C, WP), 1)
+            # row-boundary leak masks for the dx lane shifts
+            m_left = (lane % W != 0).astype(w.dtype)         # kill x=0 leak
+            m_right = (lane % W != W - 1).astype(w.dtype)    # kill x=W-1
+            lane_o = jax.lax.broadcasted_iota(jnp.int32, (Cout, WP), 1)
+            first_row = lane_o < W                           # packed row 0
+            last_row = lane_o >= WP - W                      # packed row -1
+
+            def tap_matmul(t):
+                xq = x_ref[0, pl.ds(jnp.minimum(t, HP - 1), 1)]
+                xq = xq.reshape(C, WP)
+                zc = jnp.zeros((C, 1), xq.dtype)
+                left = jnp.concatenate([zc, xq[:, :WP - 1]], axis=1)
+                right = jnp.concatenate([xq[:, 1:], zc], axis=1)
+                cat = jnp.concatenate(
+                    [left * m_left, xq, right * m_right], axis=0)
+                P = jax.lax.dot_general(
+                    w, cat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (9Cout, WP)
+                return jnp.where(t < HP, P, 0.0)
+
+            def blk(P, i):
+                return P[i * Cout:(i + 1) * Cout]            # (Cout, WP)
+
+            def row(t, carry):
+                p_prev, p_cur = carry                        # P(t-1), P(t)
+                p_next = tap_matmul(t + 1)
+                for dz in range(3):
+                    # dy=0 taps: source rows shifted down one image row —
+                    # lane-roll right by W, first packed row stitched from
+                    # the previous group's last row
+                    up = jnp.where(
+                        first_row,
+                        pltpu.roll(blk(p_prev, dz * 3), W, 1),
+                        pltpu.roll(blk(p_cur, dz * 3), W, 1))
+                    # dy=2 taps: shifted up one image row (cyclic right by
+                    # WP - W == left by W; pltpu.roll wants shift >= 0)
+                    dn = jnp.where(
+                        last_row,
+                        pltpu.roll(blk(p_next, dz * 3 + 2), WP - W, 1),
+                        pltpu.roll(blk(p_cur, dz * 3 + 2), WP - W, 1))
+                    acc = up + blk(p_cur, dz * 3 + 1) + dn
+                    dz_ref[dz, pl.ds(t, 1)] = acc[None]
+                return p_cur, p_next
+
+            p0 = jnp.zeros((9 * Cout, WP), jnp.float32)
+            jax.lax.fori_loop(0, HP, row, (p0, tap_matmul(0)))
+
+            for dz in range(3):
+                z = g + 1 - dz
+
+                @pl.when((z >= 0) & (z < D))
+                def _(dz=dz, z=z):
+                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
+
+        @pl.when(g > 0)
+        def _():
+            out_ref[...] = acc_ref[pl.ds((g - 1) % 3, 1)].astype(out_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
     """Stride-2 variant: out[z',y',x'] = sum k[dz,dy,dx] x[2z'+dz, 2y'+dy,
     2x'+dx] (SAME s2 pad_low=0). Source rows stream once; each row's taps
@@ -230,15 +328,33 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
     # outputs come (D', H', Cout, W') — channel-second-minor to avoid the
     # 16x minor-dim pad of Cout<128 VMEM tiles; transposed back below.
     if stride == 1:
-        kern = _make_kernel(D, H, W, C, cout)
-        out_shape = (D, H, cout, W)
-        out_spec = pl.BlockSpec((1, H, cout, W),
+        # Lane-packing amortizes the fixed per-row cost but its roll/mask
+        # overhead scales with C. Measured (full-res v5e): 8->1 9.8->6.0,
+        # 16->16 3.8->2.8, but 32->8 13.6->20.3 — pack only for C<=16.
+        import os  # noqa: PLC0415
+        forced = os.environ.get("MVSNET_TPU_CONV_PACK")
+        pack = 1
+        if C <= 16:
+            pack = 4 if H % 4 == 0 else (2 if H % 2 == 0 else 1)
+        if forced:
+            pack = int(forced) if H % int(forced) == 0 else 1
+        HP, WP = H // pack, pack * W
+        if pack > 1:
+            kern = _make_kernel_packed(D, H, W, C, cout, pack)
+        else:
+            kern = _make_kernel(D, H, W, C, cout)
+        out_shape = (D, HP, cout, WP)
+        out_spec = pl.BlockSpec((1, HP, cout, WP),
                                 lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((3, H, cout, W), jnp.float32),
-                   pltpu.VMEM((3, H, cout, W), jnp.float32)]
-        # channel-second-minor input + (9Cout, 3C) weights
+        scratch = [pltpu.VMEM((3, HP, cout, WP), jnp.float32),
+                   pltpu.VMEM((3, HP, cout, WP), jnp.float32)]
+        # channel-second-minor input + (9Cout, 3C) weights; PACK rows
+        # ride the lane axis (lane = r*W + x)
         x = jnp.transpose(x, (0, 1, 2, 4, 3))
+        if pack > 1:
+            x = x.reshape(B, D, HP, pack, C, W)
+            x = jnp.transpose(x, (0, 1, 2, 4, 3, 5)).reshape(B, D, HP, C, WP)
         wr = wr.T
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
@@ -280,6 +396,11 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
         )(xb, wr.astype(x.dtype))
 
     out = jnp.stack([one(x[b]) for b in range(B)], axis=0)
+    if stride == 1 and pack > 1:
+        # (B, D, HP, Co, PACK*W) -> (B, D, H, W, Co)
+        out = out.reshape(B, D, H // pack, cout, pack, W)
+        out = jnp.transpose(out, (0, 1, 2, 4, 5, 3))
+        return out.reshape(B, D, H, W, cout)
     return jnp.transpose(out, (0, 1, 2, 4, 3))       # -> (B, D', H', W', Co)
 
 

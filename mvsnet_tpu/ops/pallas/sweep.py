@@ -316,12 +316,19 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
 
                     def hwin(start, jb8k, jlo, xrow=xrow, v=v):
                         # one (vertical band, K-window) tap matmul;
-                        # jb8k*8 keeps the W-dim slice provably 8-aligned
-                        jb0 = jb8k * 8
-                        slab = cats_vmem[v, pl.ds(start, 1),
-                                         pl.ds(jb0, KBLK)]
+                        # jb8k*8 keeps the W-dim slice provably 8-aligned.
+                        # KBLK == W: the window is the whole row — jb0 is
+                        # statically 0, skip the per-block (KBLK, TW) add
+                        # (measured +13 ms at the 3DCNN point).
+                        if KBLK == W:
+                            slab = cats_vmem[v, pl.ds(start, 1)]
+                            cols = iota_k
+                        else:
+                            jb0 = jb8k * 8
+                            slab = cats_vmem[v, pl.ds(start, 1),
+                                             pl.ds(jb0, KBLK)]
+                            cols = jb0.astype(jnp.float32) + iota_k
                         slab = slab.reshape(KBLK, BAND * C)
-                        cols = jb0.astype(jnp.float32) + iota_k
                         wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols - xrow))
                         if jlo is not None:
                             # clamped extra window: drop cols the previous
@@ -344,7 +351,8 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
                             jb8k = jnp.minimum(jlo8, (W - KBLK) // 8)
                             return a + hwin(start, jb8k, jlo8 * 8)
 
-                        hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
+                        if KBLK < W:     # kextra == 0 always when KBLK == W
+                            hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
                         # vertical tent, compact (BAND, TW), applied as
                         # sublane-broadcast FMAs on Cout-aligned slices
                         rows = start.astype(jnp.float32) + iota_b

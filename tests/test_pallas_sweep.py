@@ -224,6 +224,21 @@ class TestRowConv3D:
         got = np.asarray(rowconv3d_interpret(x, k))
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("H", [6, 9])  # PACK=2 and PACK=1 fallbacks
+    def test_pack_fallbacks_match_xla(self, H):
+        from mvsnet_tpu.ops.pallas.conv3d import (
+            _xla_conv3d,
+            rowconv3d_interpret,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 4, H, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)) * 0.1,
+                        jnp.float32)
+        np.testing.assert_allclose(np.asarray(rowconv3d_interpret(x, k)),
+                                   np.asarray(_xla_conv3d(x, k)),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_batched(self):
         from mvsnet_tpu.ops.pallas.conv3d import (
             _xla_conv3d,
