@@ -122,6 +122,76 @@ class _PallasConv2D(nn.Module):
         return y
 
 
+def _im2col_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
+    """Tiny-Cin 2D convs via im2col — REJECTED by measurement, opt-in
+    only. Theory said the s2 3->16 image stem (4.6 ms, 0.1 TF/s: XLA pads
+    Cin to 128 lanes per tap) should drop to ~0.5 ms by paying the pad
+    once on K = k*k*Cin; on-chip the strided patch build dominates
+    instead (22.5 ms, 5x WORSE - nine strided copies through the same
+    3->128 padded layout). Kept for the record + the exact-SAME-pad
+    lowering; enable with MVSNET_TPU_IM2COL=1."""
+    import os  # noqa: PLC0415
+
+    if not os.environ.get("MVSNET_TPU_IM2COL"):
+        return False
+    if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
+        return False
+    ndim = x.ndim - 2
+    if not (ndim == 2
+            and tuple(_pair(dilation, ndim)) == (1, 1)
+            and jax.default_backend() == "tpu"):
+        return False
+    kh, kw = _pair(kernel, ndim)
+    return kh * kw * x.shape[-1] <= 48
+
+
+def _im2col_conv2d(x, kernel, stride):
+    """SAME conv as shifted-copy patches + ONE matmul (TF pad semantics)."""
+    kh, kw, cin, cout = kernel.shape
+    B, H, W, _ = x.shape
+    sh, sw = stride
+    oh, ow = -(-H // sh), -(-W // sw)
+    ph = max((oh - 1) * sh + kh - H, 0)
+    pw = max((ow - 1) * sw + kw - W, 0)
+    xp = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                     (pw // 2, pw - pw // 2), (0, 0)))
+    cols = [xp[:, dy:dy + (oh - 1) * sh + 1:sh,
+               dx:dx + (ow - 1) * sw + 1:sw, :]
+            for dy in range(kh) for dx in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)         # (B, oh, ow, k*k*cin)
+    return jax.lax.dot_general(
+        patches, kernel.reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class _Im2ColConv2D(nn.Module):
+    """im2col lowering; param layout matches nn.Conv."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = _pair(self.kernel, 2)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        k = kernel
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k = kernel.astype(self.dtype)
+        y = _im2col_conv2d(x, k, _pair(self.stride, 2))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class _PallasConv3D(nn.Module):
     """3x3x3 s1/s2 conv via the per-slab wide-N Pallas kernel.
 
@@ -218,6 +288,13 @@ class Conv(nn.Module):
                                            self.stride, self.dilation)):
             y = _PallasConv2D(self.filters, use_bias=self.use_bias,
                               dtype=self.dtype, name="Conv_0")(x)
+        elif (not use_wide
+              and _im2col_conv2d_available(x, self.filters, self.kernel,
+                                           self.stride, self.dilation)):
+            y = _Im2ColConv2D(self.filters, kernel=self.kernel,
+                              stride=_pair(self.stride, ndim)[0],
+                              use_bias=self.use_bias, dtype=self.dtype,
+                              name="Conv_0")(x)
         elif use_wide and wide_n_applicable(ndim, self.kernel, self.stride,
                                             self.dilation, self.filters):
             y = _WideConv3D(self.filters, stride=_pair(self.stride, ndim)[0],

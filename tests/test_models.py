@@ -278,3 +278,21 @@ def test_wide_deconv3d_matches_direct(cin, cout):
     kb = gb["params"]["ConvTranspose_0"]["kernel"]
     np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
                                atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,cin,cout", [(3, 1, 3, 8), (3, 2, 3, 16),
+                                          (5, 2, 3, 16), (3, 2, 5, 8)])
+def test_im2col_conv2d_matches_xla(k, s, cin, cout):
+    """The tiny-Cin im2col lowering must match lax conv SAME exactly."""
+    from mvsnet_tpu.models.layers import _im2col_conv2d
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 14, 20, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1, jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(x, w, (s, s), "SAME",
+                                       dimension_numbers=dn)
+    got = _im2col_conv2d(x, w, (s, s))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
