@@ -71,6 +71,55 @@ def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
     return rowconv3d_supported(D, H, W, C, filters, x.dtype)
 
 
+def _pallas_deconv3d_available(x, filters, kernel, stride) -> bool:
+    """Route 3x3x3 s2 3D transposed convs through
+    ops/pallas/deconv3d.rowdeconv3d on TPU (same gating rules as the
+    forward-conv dispatch)."""
+    import os  # noqa: PLC0415
+
+    if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
+        return False
+    ndim = x.ndim - 2
+    if not (ndim == 3
+            and tuple(_pair(kernel, ndim)) == (3, 3, 3)
+            and tuple(_pair(stride, ndim)) == (2, 2, 2)
+            and jax.default_backend() == "tpu"):
+        return False
+    from mvsnet_tpu.ops.pallas.deconv3d import (  # noqa: PLC0415
+        rowdeconv3d_supported)
+    from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+
+    mesh = mesh_lib.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return False
+    B, D, H, W, C = x.shape
+    return rowdeconv3d_supported(D, H, W, C, filters, x.dtype)
+
+
+def _pallas_deconv2d_available(x, filters, kernel, stride) -> bool:
+    """Route 3x3 s2 2D transposed convs through
+    ops/pallas/deconv2d.rowdeconv2d on TPU (same gating rules)."""
+    import os  # noqa: PLC0415
+
+    if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
+        return False
+    ndim = x.ndim - 2
+    if not (ndim == 2
+            and tuple(_pair(kernel, ndim)) == (3, 3)
+            and tuple(_pair(stride, ndim)) == (2, 2)
+            and jax.default_backend() == "tpu"):
+        return False
+    from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
+        rowdeconv2d_supported)
+    from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+
+    mesh = mesh_lib.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return False
+    B, H, W, C = x.shape
+    return rowdeconv2d_supported(H, W, C, filters, x.dtype)
+
+
 def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
     """Route 3x3 s1 2D convs through ops/pallas/conv2d.rowconv2d on TPU
     (same gating rules as the 3D dispatch)."""
@@ -204,22 +253,44 @@ class _PallasConv3D(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d  # noqa: PLC0415
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
+            rowconv3d, rowconv3d_fused)
 
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features), jnp.float32)
-        k = kernel
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            k = kernel.astype(self.dtype)
-        y = rowconv3d(x, k, self.stride)
+        bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            y = y + bias.astype(y.dtype)
-        return y
+        fold = (post_scale is not None or post_shift is not None
+                or post_relu)
+        if not fold:
+            k = kernel
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                k = kernel.astype(self.dtype)
+            y = rowconv3d(x, k, self.stride)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        # eval-only fused path: fold the per-channel scale into the f32
+        # kernel, combine shifts, and ride bias+ReLU on the Pallas
+        # epilogue (zero extra HBM passes). Not differentiable.
+        k = kernel
+        shift = bias
+        if post_scale is not None:
+            k = kernel * post_scale               # broadcast over Cout
+            if shift is not None:
+                shift = shift * post_scale
+        if post_shift is not None:
+            shift = post_shift if shift is None else shift + post_shift
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return rowconv3d_fused(x, k.astype(x.dtype), bias=shift,
+                               relu=post_relu, stride=self.stride)
 
 
 class _WideConv3D(nn.Module):
@@ -272,9 +343,16 @@ class Conv(nn.Module):
     wide_lowering: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        # post_scale/post_shift/post_relu: eval-only per-channel affine +
+        # ReLU applied AFTER the conv (a folded batch norm). The Pallas 3D
+        # branch fuses them into the kernel epilogue; other branches apply
+        # them as (XLA-fused) elementwise ops in f32, matching the unfused
+        # BatchNormRef numerics.
         ndim = x.ndim - 2  # spatial dims
         use_wide = self.wide_lowering is True
+        post_done = False
         if (not use_wide
                 and _pallas_conv3d_available(x, self.filters, self.kernel,
                                              self.stride, self.dilation)):
@@ -282,7 +360,9 @@ class Conv(nn.Module):
             # branch (its auto-assigned name).
             y = _PallasConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
                               use_bias=self.use_bias, dtype=self.dtype,
-                              name="Conv_0")(x)
+                              name="Conv_0")(x, post_scale, post_shift,
+                                             post_relu)
+            post_done = True
         elif (not use_wide
               and _pallas_conv2d_available(x, self.filters, self.kernel,
                                            self.stride, self.dilation)):
@@ -312,9 +392,114 @@ class Conv(nn.Module):
                 param_dtype=jnp.float32,
                 name="Conv_0",
             )(x)
+        if not post_done and (post_scale is not None or post_shift is not None
+                              or post_relu):
+            y32 = y.astype(jnp.float32)
+            if post_scale is not None:
+                y32 = y32 * post_scale
+            if post_shift is not None:
+                y32 = y32 + post_shift
+            if post_relu:
+                y32 = jnp.maximum(y32, 0.0)
+            y = y32.astype(y.dtype)
         if self.relu:
             y = nn.relu(y)
         return y
+
+
+class _PallasDeconv2D(nn.Module):
+    """3x3 s2 transposed conv via the parity-split 2D Pallas kernel
+    (ops/pallas/deconv2d.py). Param layout matches nn.ConvTranspose."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
+            rowdeconv2d, rowdeconv2d_fused)
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        fold = (post_scale is not None or post_shift is not None
+                or post_relu)
+        if not fold:
+            k = kernel
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                k = kernel.astype(self.dtype)
+            y = rowdeconv2d(x, k)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        k = kernel
+        shift = bias
+        if post_scale is not None:
+            k = kernel * post_scale
+            if shift is not None:
+                shift = shift * post_scale
+        if post_shift is not None:
+            shift = post_shift if shift is None else shift + post_shift
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return rowdeconv2d_fused(x, k.astype(x.dtype), bias=shift,
+                                 relu=post_relu)
+
+
+class _PallasDeconv3D(nn.Module):
+    """3x3x3 s2 transposed conv via the parity-split Pallas ring kernel
+    (ops/pallas/deconv3d.py). Param layout matches nn.ConvTranspose
+    (kernel (3,3,3,Cin,Cout) f32 lecun-normal, optional zeros bias) so
+    checkpoints are interchangeable."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        from mvsnet_tpu.ops.pallas.deconv3d import (  # noqa: PLC0415
+            rowdeconv3d, rowdeconv3d_fused)
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features), jnp.float32)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        fold = (post_scale is not None or post_shift is not None
+                or post_relu)
+        if not fold:
+            k = kernel
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                k = kernel.astype(self.dtype)
+            y = rowdeconv3d(x, k)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        # eval-only fused path (folded batch norm), mirrors _PallasConv3D
+        k = kernel
+        shift = bias
+        if post_scale is not None:
+            k = kernel * post_scale
+            if shift is not None:
+                shift = shift * post_scale
+        if post_shift is not None:
+            shift = post_shift if shift is None else shift + post_shift
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return rowdeconv3d_fused(x, k.astype(x.dtype), bias=shift,
+                                 relu=post_relu)
 
 
 class _WideDeconv3D(nn.Module):
@@ -358,10 +543,33 @@ class Deconv(nn.Module):
     wide_lowering: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        # post_*: eval-only folded batch norm, same semantics as Conv's.
+        # The Pallas deconv branch fuses them into the kernel's output-row
+        # writes; other branches lower them as XLA elementwise ops — there
+        # the win is the output staying in the conv dtype (bf16) instead
+        # of BatchNormRef's f32.
         ndim = x.ndim - 2
         use_wide = self.wide_lowering is True
-        if (use_wide and ndim == 3
+        post_done = False
+        if (not use_wide
+                and _pallas_deconv3d_available(x, self.filters, self.kernel,
+                                               self.stride)):
+            y = _PallasDeconv3D(self.filters, use_bias=self.use_bias,
+                                dtype=self.dtype,
+                                name="ConvTranspose_0")(x, post_scale,
+                                                        post_shift, post_relu)
+            post_done = True
+        elif (not use_wide
+              and _pallas_deconv2d_available(x, self.filters, self.kernel,
+                                             self.stride)):
+            y = _PallasDeconv2D(self.filters, use_bias=self.use_bias,
+                                dtype=self.dtype,
+                                name="ConvTranspose_0")(x, post_scale,
+                                                        post_shift, post_relu)
+            post_done = True
+        elif (use_wide and ndim == 3
                 and tuple(_pair(self.kernel, ndim)) == (3, 3, 3)
                 and tuple(_pair(self.stride, ndim)) == (2, 2, 2)
                 and self.filters <= 32):
@@ -378,6 +586,16 @@ class Deconv(nn.Module):
                 param_dtype=jnp.float32,
                 name="ConvTranspose_0",
             )(x)
+        if not post_done and (post_scale is not None or post_shift is not None
+                              or post_relu):
+            y32 = y.astype(jnp.float32)
+            if post_scale is not None:
+                y32 = y32 * post_scale
+            if post_shift is not None:
+                y32 = y32 + post_shift
+            if post_relu:
+                y32 = jnp.maximum(y32, 0.0)
+            y = y32.astype(y.dtype)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -595,6 +813,17 @@ class DeconvGN(nn.Module):
         return y
 
 
+def _bn_affine_probe(bn, ndim: int, channels: int):
+    """Extract eval-mode batch norm as a per-channel (scale, shift) pair by
+    probing it with zeros and ones: bn(0) = shift, bn(1) - bn(0) = scale.
+    Works for any center/scale flag combination and keeps the param tree
+    identical to the unfused call (the probe IS a call to the module)."""
+    probe0 = jnp.zeros((1,) + (1,) * (ndim - 2) + (channels,), jnp.float32)
+    shift = bn(probe0, False).reshape(channels)
+    scale = bn(probe0 + 1.0, False).reshape(channels) - shift
+    return scale, shift
+
+
 class ConvBN(nn.Module):
     """conv (no bias) -> batch norm -> ReLU (reference: network.py:278-298)."""
 
@@ -608,9 +837,20 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        y = Conv(self.filters, self.kernel, self.stride, relu=False,
-                 use_bias=False, dtype=self.dtype, name="conv")(x)
-        y = BatchNormRef(center=self.center, scale=self.scale, name="bn")(y, training)
+        bn = BatchNormRef(center=self.center, scale=self.scale, name="bn")
+        conv = Conv(self.filters, self.kernel, self.stride, relu=False,
+                    use_bias=False, dtype=self.dtype, name="conv")
+        if not training:
+            # Fold the eval-mode BN (a per-channel affine of the running
+            # stats) into the conv: probe the affine with zeros/ones, then
+            # let Conv apply it — the Pallas 3D path fuses it into the
+            # kernel + slab-write epilogue (zero extra HBM passes), and
+            # the output stays in the conv dtype instead of BN's f32.
+            scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
+            return conv(x, post_scale=scale, post_shift=shift,
+                        post_relu=self.relu)
+        y = conv(x)
+        y = bn(y, training)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -629,9 +869,15 @@ class DeconvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        y = Deconv(self.filters, self.kernel, self.stride, relu=False,
-                   use_bias=False, dtype=self.dtype, name="deconv")(x)
-        y = BatchNormRef(center=self.center, scale=self.scale, name="bn")(y, training)
+        bn = BatchNormRef(center=self.center, scale=self.scale, name="bn")
+        deconv = Deconv(self.filters, self.kernel, self.stride, relu=False,
+                        use_bias=False, dtype=self.dtype, name="deconv")
+        if not training:
+            scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
+            return deconv(x, post_scale=scale, post_shift=shift,
+                          post_relu=self.relu)
+        y = deconv(x)
+        y = bn(y, training)
         if self.relu:
             y = nn.relu(y)
         return y

@@ -42,7 +42,20 @@ _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
+def _emit(acc, b_ref, relu, out_ref):
+    """Epilogue at the final slab write: fused per-channel bias (folded
+    eval-mode batch norm shift) + ReLU, in the f32 accumulator, for free —
+    the slab is being written out exactly once anyway."""
+    v = acc
+    if b_ref is not None:
+        v = v + b_ref[...]          # (Cout, W') broadcasts over (1, H', ...)
+    if relu:
+        v = jnp.maximum(v, 0.0)
+    out_ref[...] = v.astype(out_ref.dtype)
+
+
+def _make_kernel(D: int, H: int, W: int, C: int, Cout: int,
+                 has_bias: bool = False, relu: bool = False):
     """Channel-second-minor edition: every scratch/output tile is shaped
     (..., Cout, W), because a (..., W, Cout=8) VMEM buffer pads the minor
     dim to 128 lanes (measured: the accumulators alone demanded 2x92 MiB).
@@ -50,16 +63,21 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
     operands), tap blocks are FREE sublane slices at multiples of Cout, and
     the dy shift is pure row indexing into the staging scratch."""
 
-    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
+    def kernel(x_ref, w_ref, *rest):
         # x_ref: (1, H, C, W) source slab min(g, D-1), channel-second-minor
         #   (a (W, C<=40) block would pad C to 128 lanes: 4x the DMA and
         #   VPU read traffic at C=32); w_ref: (9*Cout, 3*C);
+        # b_ref (when has_bias): (Cout, W) f32 per-channel bias;
         # out_ref: (1, H, Cout, W) output slab max(g-1, 0) — the wrapper
         #   transposes back to NDHWC;
         # acc_ref: (3, H, Cout, W) f32 revolving accumulator, slot(z) = z%3;
         # dz_ref: (3, H, Cout, W) f32 per-dz staging (dz stays a python int
         #   because a [dynamic, static-slice] ref access lowers as a >2D
         #   gather in Mosaic).
+        if has_bias:
+            b_ref, out_ref, acc_ref, dz_ref = rest
+        else:
+            (out_ref, acc_ref, dz_ref), b_ref = rest, None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -114,13 +132,14 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int):
 
         @pl.when(g > 0)
         def _():
-            out_ref[...] = acc_ref[pl.ds((g - 1) % 3, 1)].astype(out_ref.dtype)
+            _emit(acc_ref[pl.ds((g - 1) % 3, 1)], b_ref, relu, out_ref)
 
     return kernel
 
 
 def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
-                        PACK: int):
+                        PACK: int, has_bias: bool = False,
+                        relu: bool = False):
     """Lane-packed s1 edition: PACK consecutive image rows ride the lane
     axis, so one tap matmul covers PACK rows and the ~0.3 us/row fixed
     per-iteration cost (measured flat across layer shapes) amortizes.
@@ -134,13 +153,18 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
     HP = H // PACK
     WP = PACK * W
 
-    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
+    def kernel(x_ref, w_ref, *rest):
         # x_ref: (1, HP, C, WP) source slab min(g, D-1);
         # w_ref: (9*Cout, 3*C);
+        # b_ref (when has_bias): (Cout, WP) f32 per-channel bias;
         # out_ref: (1, HP, Cout, WP) packed output slab max(g-1, 0) — the
         #   wrapper unpacks back to NDHWC;
         # acc_ref: (3, HP, Cout, WP) f32 revolving accumulator;
         # dz_ref: (3, HP, Cout, WP) f32 per-dz staging.
+        if has_bias:
+            b_ref, out_ref, acc_ref, dz_ref = rest
+        else:
+            (out_ref, acc_ref, dz_ref), b_ref = rest, None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -212,12 +236,13 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
 
         @pl.when(g > 0)
         def _():
-            out_ref[...] = acc_ref[pl.ds((g - 1) % 3, 1)].astype(out_ref.dtype)
+            _emit(acc_ref[pl.ds((g - 1) % 3, 1)], b_ref, relu, out_ref)
 
     return kernel
 
 
-def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
+def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
+                    has_bias: bool = False, relu: bool = False):
     """Stride-2 variant: out[z',y',x'] = sum k[dz,dy,dx] x[2z'+dz, 2y'+dy,
     2x'+dx] (SAME s2 pad_low=0). Source rows stream once; each row's taps
     scatter by parity into a 2-slot revolving accumulator of half-res
@@ -225,11 +250,16 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
     """
     H2, W2 = H // 2, W // 2
 
-    def kernel(x_ref, w_ref, out_ref, acc_ref, dz_ref):
-        # x_ref: (1, H, W, C) slab min(g, D-1); out_ref: (1, H2, Cout, W2)
+    def kernel(x_ref, w_ref, *rest):
+        # x_ref: (1, H, W, C) slab min(g, D-1); b_ref (when has_bias):
+        # (Cout, W2) f32 per-channel bias; out_ref: (1, H2, Cout, W2)
         # at index max(g//2 - 1, 0); acc_ref: (2, H2, Cout, W2) f32,
         # slot(z') = z' % 2; dz_ref: (3, H2+2, Cout, W2) f32 per-dz staging
         # (+1 pad row each side). Grid (D+1,) sequential.
+        if has_bias:
+            b_ref, out_ref, acc_ref, dz_ref = rest
+        else:
+            (out_ref, acc_ref, dz_ref), b_ref = rest, None
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -284,8 +314,7 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int):
 
         @pl.when((g >= 2) & (g % 2 == 0))
         def _():
-            out_ref[...] = acc_ref[pl.ds((g // 2 - 1) % 2, 1)].astype(
-                out_ref.dtype)
+            _emit(acc_ref[pl.ds((g // 2 - 1) % 2, 1)], b_ref, relu, out_ref)
 
     return kernel
 
@@ -319,11 +348,14 @@ def _weights_wide(kernel):
                                                           kd * kh * cout)
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
-def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("stride", "relu", "interpret"))
+def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
+                        relu: bool = False, interpret: bool = False):
     B, D, H, W, C = x.shape
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel)
+    has_bias = bias is not None
 
     # outputs come (D', H', Cout, W') — channel-second-minor to avoid the
     # 16x minor-dim pad of Cout<128 VMEM tiles; transposed back below.
@@ -340,9 +372,9 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
             pack = int(forced) if H % int(forced) == 0 else 1
         HP, WP = H // pack, pack * W
         if pack > 1:
-            kern = _make_kernel_packed(D, H, W, C, cout, pack)
+            kern = _make_kernel_packed(D, H, W, C, cout, pack, has_bias, relu)
         else:
-            kern = _make_kernel(D, H, W, C, cout)
+            kern = _make_kernel(D, H, W, C, cout, has_bias, relu)
         out_shape = (D, HP, cout, WP)
         out_spec = pl.BlockSpec((1, HP, cout, WP),
                                 lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
@@ -358,7 +390,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
         wr = wr.T
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
-        kern = _make_kernel_s2(D, H, W, C, cout)
+        kern = _make_kernel_s2(D, H, W, C, cout, has_bias, relu)
         out_shape = (D // 2, H // 2, cout, W // 2)
         out_spec = pl.BlockSpec((1, H // 2, cout, W // 2),
                                 lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
@@ -370,17 +402,27 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
         x = x.reshape(B, D, H, W // 2, 2 * C)
     in_block = x.shape[2:]
 
+    in_specs = [
+        pl.BlockSpec((1,) + in_block,
+                     lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wr.shape, lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [wr.astype(x.dtype)]
+    if has_bias:
+        # per-channel bias broadcast to the kernel's (Cout, W') lane tile
+        b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
+                               (cout, out_shape[-1]))
+        in_specs.append(pl.BlockSpec(b2d.shape, lambda g: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(b2d)
+
     def one(xb):
         return pl.pallas_call(
             kern,
             grid=(D + 1,),
-            in_specs=[
-                pl.BlockSpec((1,) + in_block,
-                             lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(wr.shape, lambda g: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
             scratch_shapes=scratch,
@@ -393,7 +435,7 @@ def _rowconv3d_fwd_impl(x, kernel, stride: int = 1, interpret: bool = False):
                                 // stride ** 3),
                 transcendentals=0,
             ),
-        )(xb, wr.astype(x.dtype))
+        )(xb, *operands)
 
     out = jnp.stack([one(x[b]) for b in range(B)], axis=0)
     if stride == 1 and pack > 1:
@@ -411,7 +453,7 @@ def _auto_interpret() -> bool:
 
 def rowconv3d_interpret(x, kernel, stride: int = 1):
     """Interpreter-mode variant for CPU tests."""
-    return _rowconv3d_fwd_impl(x, kernel, stride, interpret=True)
+    return _rowconv3d_fwd_impl(x, kernel, stride=stride, interpret=True)
 
 
 def _flip(kernel):
@@ -428,11 +470,11 @@ def _xla_conv3d(x, kernel, stride: int = 1):
 
 @jax.custom_vjp
 def _rowconv3d_s1(x, kernel):
-    return _rowconv3d_fwd_impl(x, kernel, 1, interpret=_auto_interpret())
+    return _rowconv3d_fwd_impl(x, kernel, stride=1, interpret=_auto_interpret())
 
 
 def _s1_vjp_fwd(x, kernel):
-    out = _rowconv3d_fwd_impl(x, kernel, 1, interpret=_auto_interpret())
+    out = _rowconv3d_fwd_impl(x, kernel, stride=1, interpret=_auto_interpret())
     return out, (x, kernel)
 
 
@@ -440,7 +482,8 @@ def _s1_vjp_bwd(res, g):
     x, kernel = res
     g = g.astype(x.dtype)
     # the conv is linear: dx is the same kernel run with the flipped filter
-    dx = _rowconv3d_fwd_impl(g, _flip(kernel), 1, interpret=_auto_interpret())
+    dx = _rowconv3d_fwd_impl(g, _flip(kernel), stride=1,
+                               interpret=_auto_interpret())
     _, wgrad = jax.vjp(lambda k: _xla_conv3d(x, k, 1), kernel)
     (dk,) = wgrad(g)
     return dx, dk
@@ -451,11 +494,11 @@ _rowconv3d_s1.defvjp(_s1_vjp_fwd, _s1_vjp_bwd)
 
 @jax.custom_vjp
 def _rowconv3d_s2(x, kernel):
-    return _rowconv3d_fwd_impl(x, kernel, 2, interpret=_auto_interpret())
+    return _rowconv3d_fwd_impl(x, kernel, stride=2, interpret=_auto_interpret())
 
 
 def _s2_vjp_fwd(x, kernel):
-    out = _rowconv3d_fwd_impl(x, kernel, 2, interpret=_auto_interpret())
+    out = _rowconv3d_fwd_impl(x, kernel, stride=2, interpret=_auto_interpret())
     return out, (x, kernel)
 
 
@@ -480,3 +523,18 @@ def rowconv3d(x, kernel, stride: int = 1):
         return _rowconv3d_s1(x, kernel)
     assert stride == 2, stride
     return _rowconv3d_s2(x, kernel)
+
+
+def rowconv3d_fused(x, kernel, bias=None, relu: bool = False,
+                    stride: int = 1):
+    """Eval-only fused conv + per-channel bias + ReLU in one Pallas pass.
+
+    The bias add and ReLU ride the kernel's final slab write (f32
+    accumulator -> output cast), so a folded eval-mode batch norm
+    (`y = conv(x, k*gamma*rsqrt(var+eps)) + (beta - mean*gamma*rsqrt)`)
+    costs zero extra HBM traffic vs the bare conv. NOT differentiable —
+    training uses `rowconv3d` + the unfused norm so batch stats stay exact
+    (reference semantics: network.py:278-298 conv -> BN -> ReLU).
+    """
+    return _rowconv3d_fwd_impl(x, kernel, bias, stride=stride, relu=relu,
+                               interpret=_auto_interpret())

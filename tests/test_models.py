@@ -296,3 +296,63 @@ def test_im2col_conv2d_matches_xla(k, s, cin, cout):
     got = _im2col_conv2d(x, w, (s, s))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("cls_name,cout,stride",
+                         [("ConvBN", 8, 1), ("ConvBN", 16, 2),
+                          ("DeconvBN", 8, 2)])
+def test_bn_fold_matches_unfused(cls_name, cout, stride):
+    """Eval-mode ConvBN/DeconvBN fold batch norm into the conv (per-channel
+    affine + ReLU epilogue). The folded output must match the unfused
+    conv -> BN -> ReLU math (reference: network.py:278-348) to bf16
+    precision, including on the Pallas conv branch (interpret mode)."""
+    import unittest.mock as mock
+
+    from mvsnet_tpu.models.layers import Conv, ConvBN, Deconv, DeconvBN
+
+    cls = {"ConvBN": ConvBN, "DeconvBN": DeconvBN}[cls_name]
+    inner_cls = Conv if cls is ConvBN else Deconv
+    sub = "conv" if cls is ConvBN else "deconv"
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 32)), jnp.bfloat16)
+    m = cls(cout, 3, stride, dtype="bfloat16")
+    v = m.init(jax.random.PRNGKey(0), x, True)
+    # non-trivial running stats so the fold actually does work
+    v = jax.tree_util.tree_map(lambda a: a + 0.3 if a.ndim == 1 else a, v)
+
+    def unfused_ref():
+        inner = inner_cls(cout, 3, stride, relu=False, use_bias=False,
+                          dtype="bfloat16")
+        yc = inner.apply({"params": v["params"][sub]}, x)
+        bs = v["batch_stats"]["bn"]["BatchNorm_0"]
+        p = v["params"]["bn"]["BatchNorm_0"]
+        y = ((yc.astype(jnp.float32) - bs["mean"])
+             / jnp.sqrt(bs["var"] + 1e-5) * p["scale"] + p["bias"])
+        return np.asarray(jnp.maximum(y, 0.0))
+
+    ref = unfused_ref()
+    got = np.asarray(m.apply(v, x, False), np.float32)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 6e-3
+
+    # the Pallas branches fuse bias+ReLU in-kernel
+    if cls is ConvBN:
+        with mock.patch("mvsnet_tpu.models.layers._pallas_conv3d_available",
+                        return_value=True), \
+             mock.patch("mvsnet_tpu.ops.pallas.conv3d._auto_interpret",
+                        return_value=True):
+            got_p = np.asarray(m.apply(v, x, False), np.float32)
+        assert np.abs(got_p - ref).max() / scale < 6e-3
+    else:
+        with mock.patch("mvsnet_tpu.models.layers._pallas_deconv3d_available",
+                        return_value=True), \
+             mock.patch("mvsnet_tpu.ops.pallas.deconv3d._auto_interpret",
+                        return_value=True):
+            got_p = np.asarray(m.apply(v, x, False), np.float32)
+        assert np.abs(got_p - ref).max() / scale < 6e-3
+
+    # training path unchanged: batch stats still update
+    _, mut = m.apply(v, x, True, mutable=["batch_stats"])
+    new_mean = mut["batch_stats"]["bn"]["BatchNorm_0"]["mean"]
+    assert not np.allclose(np.asarray(new_mean),
+                           np.asarray(v["batch_stats"]["bn"]["BatchNorm_0"]["mean"]))

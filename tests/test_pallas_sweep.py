@@ -367,3 +367,125 @@ class TestRowConv2D:
                                    atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
+
+
+class TestRowDeconv3D:
+    """Parity-split s2 deconv kernel (ops/pallas/deconv3d.py) vs
+    flax/lax conv_transpose (the nn.ConvTranspose path it replaces)."""
+
+    @pytest.mark.parametrize("cin,cout,shape",
+                             [(64, 32, (2, 5, 8)), (32, 16, (3, 6, 16)),
+                              (16, 8, (4, 7, 8))])
+    def test_matches_xla_conv_transpose(self, cin, cout, shape):
+        from mvsnet_tpu.ops.pallas.deconv3d import (
+            _xla_deconv3d,
+            rowdeconv3d_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        D, H, W = shape
+        x = jnp.asarray(rng.standard_normal((1, D, H, W, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        ref = np.asarray(_xla_deconv3d(x, k))
+        got = np.asarray(rowdeconv3d_interpret(x, k))
+        assert got.shape == ref.shape == (1, 2 * D, 2 * H, 2 * W, cout)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_batched_and_fused_epilogue(self):
+        from mvsnet_tpu.ops.pallas.deconv3d import (
+            _xla_deconv3d,
+            rowdeconv3d_fused,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 3, 4, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        ref = np.maximum(np.asarray(_xla_deconv3d(x, k)) + np.asarray(b), 0.0)
+        got = np.asarray(rowdeconv3d_fused(x, k, bias=b, relu=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_custom_vjp_matches_xla_grads(self):
+        from mvsnet_tpu.ops.pallas.deconv3d import _xla_deconv3d, rowdeconv3d
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 4, 8, 16, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, 8, 16, 32, 8)), jnp.float32)
+
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(_xla_deconv3d(a, b) * g), (0, 1))(x, k)
+        gx2, gk2 = jax.grad(
+            lambda a, b: jnp.sum(rowdeconv3d(a, b) * g), (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                   atol=2e-4, rtol=1e-5)
+
+    def test_supported_model(self):
+        from mvsnet_tpu.ops.pallas.deconv3d import rowdeconv3d_supported
+
+        # the RegNetUS0 deconvs at the 3DCNN operating point
+        assert rowdeconv3d_supported(48, 54, 72, 32, 16)   # quarter -> half
+        assert rowdeconv3d_supported(96, 108, 144, 16, 8)  # half -> full
+        # eighth-res W=36 is not 8-aligned: stays on XLA (tiny anyway)
+        assert not rowdeconv3d_supported(24, 27, 36, 64, 32)
+
+
+class TestRowDeconv2D:
+    """Parity-split 2D s2 deconv kernel (ops/pallas/deconv2d.py)."""
+
+    @pytest.mark.parametrize("cin,cout,shape",
+                             [(16, 8, (6, 8)), (32, 16, (5, 16)),
+                              (128, 64, (12, 8))])
+    def test_matches_xla_conv_transpose(self, cin, cout, shape):
+        from mvsnet_tpu.ops.pallas.deconv2d import (
+            _xla_deconv2d,
+            rowdeconv2d_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        H, W = shape
+        x = jnp.asarray(rng.standard_normal((1, H, W, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        ref = np.asarray(_xla_deconv2d(x, k))
+        got = np.asarray(rowdeconv2d_interpret(x, k))
+        assert got.shape == ref.shape == (1, 2 * H, 2 * W, cout)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_fused_epilogue_and_vjp(self):
+        from mvsnet_tpu.ops.pallas.deconv2d import (
+            _xla_deconv2d,
+            rowdeconv2d,
+            rowdeconv2d_fused,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        ref = np.maximum(np.asarray(_xla_deconv2d(x, k)) + np.asarray(b), 0.0)
+        got = np.asarray(rowdeconv2d_fused(x, k, bias=b, relu=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+        g1 = jax.grad(lambda a, c: jnp.sum(_xla_deconv2d(a, c) ** 2),
+                      (0, 1))(x, k)
+        g2 = jax.grad(lambda a, c: jnp.sum(rowdeconv2d(a, c) ** 2),
+                      (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                                   atol=2e-4, rtol=1e-5)
+
+    def test_supported_model(self):
+        from mvsnet_tpu.ops.pallas.deconv2d import rowdeconv2d_supported
+
+        # the UNetDS2GN decoder deconvs at 1152x864
+        assert rowdeconv2d_supported(432, 576, 16, 8)    # 2dconv8_0
+        assert rowdeconv2d_supported(216, 288, 32, 16)   # 2dconv7_0
+        assert rowdeconv2d_supported(54, 72, 128, 64)    # 2dconv5_0
