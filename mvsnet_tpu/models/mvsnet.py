@@ -31,7 +31,7 @@ from mvsnet_tpu.models.gru import GRURegularizer
 from mvsnet_tpu.models.refine import RefineNetConv, RefineUNetConv
 from mvsnet_tpu.models.regnet import RegNetUS0
 from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
-from mvsnet_tpu.ops.depth import probability_map, soft_argmin, winner_take_all_update
+from mvsnet_tpu.ops.depth import soft_argmin_prob_map, winner_take_all_update
 from mvsnet_tpu.ops.geometry import (
     depth_values,
     homographies_for_views,
@@ -132,12 +132,15 @@ class MVSNet(nn.Module):
         reg = jnp.squeeze(reg, axis=-1).astype(jnp.float32)     # (B, D, h, w)
         reg = constrain(reg, "data", "depth", "space")
 
-        depth_map, prob_volume = soft_argmin(
+        # fused tail: never materializes the (B, D, h, w) f32 softmax
+        # volume (ops/depth.py:soft_argmin_prob_map) — same math as the
+        # composed soft_argmin + probability_map reference path
+        # (model.py:343-366 + 45-144), ~2x less HBM traffic over the
+        # regularized volume.
+        depth_map, prob_map = soft_argmin_prob_map(
             reg, depth_start, depth_interval, cfg.max_d,
-            inverse_depth=cfg.inverse_depth, depth_end=depth_end)
-        prob_map = probability_map(
-            prob_volume, depth_map, depth_start, depth_interval,
-            inverse_depth=cfg.inverse_depth, num_buckets=cfg.prob_num_buckets)
+            inverse_depth=cfg.inverse_depth, depth_end=depth_end,
+            num_buckets=cfg.prob_num_buckets)
         return depth_map, prob_map
 
     @nn.compact

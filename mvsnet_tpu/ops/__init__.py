@@ -10,6 +10,7 @@ from mvsnet_tpu.ops.warp import homography_warp, warp_by_homographies  # noqa: F
 from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume  # noqa: F401
 from mvsnet_tpu.ops.depth import (  # noqa: F401
     soft_argmin,
+    soft_argmin_prob_map,
     probability_map,
     winner_take_all_update,
 )

@@ -97,6 +97,67 @@ def probability_map(prob_volume, depth_map, depth_start, depth_interval,
     return prob[..., None]
 
 
+def soft_argmin_prob_map(reg_cost, depth_start, depth_interval,
+                         depth_num: int, inverse_depth: bool = False,
+                         depth_end=None, num_buckets: int = 4):
+    """Fused soft-argmin + probability map without materializing softmax.
+
+    Equivalent to `probability_map(*soft_argmin(...))` (reference:
+    model.py:343-366 + model.py:45-144) but never writes the (B, D, H, W)
+    f32 probability volume to HBM: the exp(-cost - max) term is expressed
+    as an elementwise producer feeding three depth-axis reductions
+    (sum-exp, depth expectation, bucket mass), which XLA fuses into two
+    streaming passes over the cost volume instead of softmax's
+    write + two reads. Differentiable; used where the probability volume
+    itself is not needed downstream (the 3DCNN inference tail).
+    """
+    assert num_buckets in (2, 4)
+    B, D = reg_cost.shape[:2]
+    assert D == depth_num
+    x = -jnp.asarray(reg_cost, jnp.float32)                           # (B,D,H,W)
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=1)                                            # (B,H,W)
+
+    start = jnp.broadcast_to(jnp.asarray(depth_start, jnp.float32), (B,))
+    interval = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32),
+                                (B,))
+    if inverse_depth:
+        end = jnp.broadcast_to(jnp.asarray(depth_end, jnp.float32), (B,))
+        samples = inv_depth_values(start, end, depth_num)             # (B, D)
+    else:
+        samples = depth_values(start, interval, depth_num)            # (B, D)
+    depth = jnp.sum(e * samples[:, :, None, None], axis=1) / s        # (B,H,W)
+
+    startb = start[:, None, None]
+    intervalb = interval[:, None, None]
+    if inverse_depth:
+        d_end = startb + (D - 1) * intervalb
+        inv_start = 1.0 / startb
+        inv_end = 1.0 / d_end
+        inv_interval = (inv_start - inv_end) / (D - 1)
+        inv_d = (1.0 / depth - inv_end) / inv_interval
+        left0 = jnp.clip(D - jnp.ceil(inv_d).astype(jnp.int32) - 1, 0, D - 1)
+        right0 = jnp.clip(D - jnp.floor(inv_d).astype(jnp.int32) - 1, 0, D - 1)
+    else:
+        d = (depth - startb) / intervalb
+        left0 = jnp.clip(jnp.floor(d).astype(jnp.int32), 0, D - 1)
+        right0 = jnp.clip(jnp.ceil(d).astype(jnp.int32), 0, D - 1)
+    left1 = jnp.clip(left0 - 1, 0, D - 1)
+    right1 = jnp.clip(right0 + 1, 0, D - 1)
+
+    iota_d = jnp.arange(D)[None, :, None, None]
+
+    def indicator(idx):
+        return (iota_d == idx[:, None]).astype(e.dtype)
+
+    weight = indicator(left0) + indicator(right0)
+    if num_buckets == 4:
+        weight = weight + indicator(left1) + indicator(right1)
+    prob = jnp.sum(e * weight, axis=1) / s
+    return depth[..., None], prob[..., None]
+
+
 def winner_take_all_update(carry, prob, depth_value):
     """One WTA step: keep per-pixel argmax prob + its depth, accumulate sums.
 

@@ -44,6 +44,40 @@ def test_probability_map_integer_depth():
     np.testing.assert_allclose(np.asarray(pm), 1.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("inverse,buckets", [(False, 4), (False, 2),
+                                             (True, 4)])
+def test_soft_argmin_prob_map_fused_matches_composed(inverse, buckets):
+    """The fused 3DCNN tail (soft_argmin_prob_map) must reproduce the
+    composed probability_map(soft_argmin(...)) path bit-for-bit up to
+    f32 reassociation (reference: model.py:343-366 + 45-144)."""
+    from mvsnet_tpu.ops.depth import soft_argmin, soft_argmin_prob_map
+
+    rng = np.random.default_rng(3)
+    B, D, H, W = 2, 16, 6, 7
+    reg = jnp.asarray(rng.standard_normal((B, D, H, W)) * 3, jnp.float32)
+    start = jnp.array([10.0, 12.0])
+    interval = jnp.array([1.5, 2.0])
+    end = start + (D - 1) * interval
+
+    depth_ref, pv = soft_argmin(reg, start, interval, D,
+                                inverse_depth=inverse, depth_end=end)
+    pm_ref = probability_map(pv, depth_ref, start, interval,
+                             inverse_depth=inverse, num_buckets=buckets)
+    depth, pm = soft_argmin_prob_map(reg, start, interval, D,
+                                     inverse_depth=inverse, depth_end=end,
+                                     num_buckets=buckets)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pm_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # differentiable (the training graphs may route through it)
+    g = jax.grad(lambda r: jnp.sum(
+        soft_argmin_prob_map(r, start, interval, D, inverse_depth=inverse,
+                             depth_end=end)[0]))(reg)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_power_loss_no_interval_norm():
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(5, 10, (1, 6, 6, 1)).astype(np.float32))
