@@ -84,6 +84,13 @@ _PARALLEL2 = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"),
                                   vmem_limit_bytes=_VMEM_LIMIT)
 _ARBITRARY2 = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"),
                                    vmem_limit_bytes=_VMEM_LIMIT)
+# experiment knob: parallel-D semantics for the preload kernel (cells still
+# run row-major on the one core, so the (0,0) preload-DMA guard holds, but
+# Mosaic may pipeline cross-cell block transfers more aggressively)
+if _os.environ.get("MVSNET_TPU_SWEEP_PARSEM"):
+    _ARBITRARY2 = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _precision_for(src_dtype):

@@ -186,8 +186,11 @@ def regnet3d_ndhwc(x, ws):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="2d",
-                    choices=["2d", "3d", "pallas3d", "pallas2d"])
+                    choices=["2d", "3d", "pallas3d", "pallas2d", "regnetsum",
+                             "glue", "bisect"])
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--stages", default="",
+                    help="bisect: comma-separated stage indices (default all)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -242,6 +245,197 @@ def main():
                 print(f"{name:24s} {tag:6s} {t*1e3:7.2f} ms  ({fl/1e9:6.1f} GF"
                       f" -> {fl/t/1e12:5.1f} TF/s)", flush=True)
                 results[f"{name} {tag}"] = round(t, 5)
+    elif args.case == "bisect":
+        # truncation bisect of RegNetUS0 in ONE process: time progressively
+        # longer prefixes; consecutive deltas localize the in-graph glue
+        # (layer sum 47.6 ms vs full module 115.75 ms measured on chip)
+        import jax
+        from flax import linen as nn
+
+        from mvsnet_tpu.models.layers import Conv, ConvBN, DeconvBN
+
+        D, h, w = 192, 216, 288
+        N_STAGES = 11
+
+        class Trunc(nn.Module):
+            stage: int
+            dtype: str
+
+            @nn.compact
+            def __call__(self, x, training=False):
+                d = self.dtype
+                s = self.stage
+                x = x.astype(d)
+                live = []
+                c1_0 = ConvBN(16, 3, 2, name="3dconv1_0", dtype=d)(x, training)
+                live.append(c1_0)
+                if s >= 2:
+                    c2_0 = ConvBN(32, 3, 2, name="3dconv2_0", dtype=d)(
+                        c1_0, training)
+                    live.append(c2_0)
+                if s >= 3:
+                    c3_0 = ConvBN(64, 3, 2, name="3dconv3_0", dtype=d)(
+                        c2_0, training)
+                    live.append(c3_0)
+                if s >= 4:
+                    c0_1 = ConvBN(8, 3, 1, name="3dconv0_1", dtype=d)(
+                        x, training)
+                    live.append(c0_1)
+                if s >= 5:
+                    c1_1 = ConvBN(16, 3, 1, name="3dconv1_1", dtype=d)(
+                        c1_0, training)
+                    live.append(c1_1)
+                if s >= 6:
+                    c2_1 = ConvBN(32, 3, 1, name="3dconv2_1", dtype=d)(
+                        c2_0, training)
+                    live.append(c2_1)
+                if s >= 7:
+                    c3_1 = ConvBN(64, 3, 1, name="3dconv3_1", dtype=d)(
+                        c3_0, training)
+                    live.append(c3_1)
+                if s >= 8:
+                    c4_1 = DeconvBN(32, 3, 2, name="3dconv4_0", dtype=d)(
+                        c3_1, training) + c2_1
+                    live.append(c4_1)
+                if s >= 9:
+                    c5_1 = DeconvBN(16, 3, 2, name="3dconv5_0", dtype=d)(
+                        c4_1, training) + c1_1
+                    live.append(c5_1)
+                if s >= 10:
+                    c6_1 = DeconvBN(8, 3, 2, name="3dconv6_0", dtype=d)(
+                        c5_1, training) + c0_1
+                    live.append(c6_1)
+                if s >= 11:
+                    out = Conv(1, 3, 1, relu=False, use_bias=False,
+                               name="3dconv6_2", dtype=d)(c6_1)
+                    live = [out]
+                # consume every live tensor so XLA keeps all stages
+                return sum(jnp.sum(t.astype(jnp.float32)) for t in live)
+
+        stages = ([int(s) for s in args.stages.split(",") if s]
+                  or list(range(1, N_STAGES + 1)))
+        x = jnp.asarray(rng.standard_normal((1, D, h, w, 32)), dt)
+        prev = 0.0
+        for s in stages:
+            m = Trunc(s, args.dtype)
+            params = jax.jit(lambda k, a, m=m: m.init(k, a, False))(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 32), dt))
+            t = timed(lambda a, p, m=m: m.apply(p, a, False), x, params)
+            print(f"stage {s:2d}: {t*1e3:8.2f} ms  (delta {1e3*(t-prev):7.2f})",
+                  flush=True)
+            results[f"stage{s}"] = round(t, 5)
+            prev = t
+    elif args.case == "glue":
+        # decompose the RegNet in-graph glue: module-vs-bare-kernel for the
+        # hot layer, BN alone, the layout transposes alone
+        import jax
+
+        from mvsnet_tpu.models.layers import BatchNormRef, ConvBN
+        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d
+
+        D, h, w = 192, 216, 288
+        x32 = jnp.asarray(rng.standard_normal((1, D, h, w, 32)), dt)
+        x8 = jnp.asarray(rng.standard_normal((1, D, h, w, 8)), dt)
+        k_ = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 8)) * 0.1,
+                         jnp.float32)
+
+        t = timed(lambda a, b: rowconv3d(a, b.astype(a.dtype), 1), x32, k_)
+        print(f"{'bare rowconv 32->8':24s} {t*1e3:7.2f} ms", flush=True)
+        results["bare"] = round(t, 5)
+
+        m = ConvBN(8, 3, 1, dtype=args.dtype)
+        v = jax.jit(lambda kk, a: m.init(kk, a, False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 32), dt))
+        t = timed(lambda a, p: m.apply(p, a, False), x32, v)
+        print(f"{'ConvBN module 32->8':24s} {t*1e3:7.2f} ms", flush=True)
+        results["convbn"] = round(t, 5)
+
+        bn = BatchNormRef()
+        vb = jax.jit(lambda kk, a: bn.init(kk, a, False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 8), dt))
+        t = timed(lambda a, p: jax.nn.relu(bn.apply(p, a, False)), x8, vb)
+        print(f"{'BN+relu 8ch full-res':24s} {t*1e3:7.2f} ms", flush=True)
+        results["bn"] = round(t, 5)
+
+        t = timed(lambda a: jnp.transpose(a, (0, 1, 2, 4, 3)), x32)
+        print(f"{'transpose cm 32ch':24s} {t*1e3:7.2f} ms", flush=True)
+        results["transpose"] = round(t, 5)
+
+        def pack4(a):
+            B, Dd, H, W, C = a.shape
+            a = jnp.transpose(a, (0, 1, 2, 4, 3)).reshape(B, Dd, H // 4, 4,
+                                                          C, W)
+            return jnp.transpose(a, (0, 1, 2, 4, 3, 5)).reshape(
+                B, Dd, H // 4, C, 4 * W)
+
+        t = timed(pack4, x8)
+        print(f"{'pack4 8ch full-res':24s} {t*1e3:7.2f} ms", flush=True)
+        results["pack4"] = round(t, 5)
+    elif args.case == "regnetsum":
+        # every RegNetUS0 layer timed standalone + the full module, ONE
+        # process — pins down in-graph glue vs chip-window drift
+        import jax
+
+        from mvsnet_tpu.models.regnet import RegNetUS0
+        from mvsnet_tpu.ops.pallas.conv3d import rowconv3d, rowconv3d_supported
+
+        D, h, w = 192, 216, 288
+
+        def deconv3d(x, w_, s=2):
+            return jax.lax.conv_transpose(
+                x, w_, (s, s, s), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        layers = [
+            ("0_1 32->8 full s1", (1, D, h, w, 32), 8, 1),
+            ("1_0 32->16 s2", (1, D, h, w, 32), 16, 2),
+            ("1_1 16->16 half s1", (1, D // 2, h // 2, w // 2, 16), 16, 1),
+            ("2_0 16->32 s2", (1, D // 2, h // 2, w // 2, 16), 32, 2),
+            ("2_1 32->32 quarter s1", (1, D // 4, h // 4, w // 4, 32), 32, 1),
+            ("3_0 32->64 s2", (1, D // 4, h // 4, w // 4, 32), 64, 2),
+            ("3_1 64->64 eighth s1", (1, D // 8, h // 8, w // 8, 64), 64, 1),
+            ("6_2 8->1 full s1", (1, D, h, w, 8), 1, 1),
+        ]
+        total = 0.0
+        for name, xs, cout, s in layers:
+            x = jnp.asarray(rng.standard_normal(xs), dt)
+            w_ = jnp.asarray(rng.standard_normal(
+                (3, 3, 3, xs[-1], cout)) * 0.1, jnp.float32)
+            sup = rowconv3d_supported(xs[1], xs[2], xs[3], xs[-1], cout, dt)
+            if sup:
+                fn = (lambda a, b, s=s: rowconv3d(a, b.astype(a.dtype), s))
+            else:                                  # the dispatch's fallback
+                def fn(a, b, s=s):
+                    d = jax.lax.conv_dimension_numbers(
+                        a.shape, b.shape, ("NDHWC", "DHWIO", "NDHWC"))
+                    return jax.lax.conv_general_dilated(
+                        a, b.astype(a.dtype), (s, s, s), "SAME",
+                        dimension_numbers=d)
+            t = timed(fn, x, w_)
+            total += t
+            print(f"{name:24s} {t*1e3:7.2f} ms", flush=True)
+            results[name] = round(t, 5)
+        for name, xs, cout in [
+                ("4_0 deconv 64->32", (1, D // 8, h // 8, w // 8, 64), 32),
+                ("5_0 deconv 32->16", (1, D // 4, h // 4, w // 4, 32), 16),
+                ("6_0 deconv 16->8", (1, D // 2, h // 2, w // 2, 16), 8)]:
+            x = jnp.asarray(rng.standard_normal(xs), dt)
+            w_ = jnp.asarray(rng.standard_normal(
+                (3, 3, 3, xs[-1], cout)) * 0.1, dt)
+            t = timed(deconv3d, x, w_)
+            total += t
+            print(f"{name:24s} {t*1e3:7.2f} ms", flush=True)
+            results[name] = round(t, 5)
+        print(f"{'LAYER SUM':24s} {total*1e3:7.2f} ms", flush=True)
+
+        net = RegNetUS0("normal", dtype=args.dtype)
+        cv = jnp.asarray(rng.standard_normal((1, D, h, w, 32)), dt)
+        params = jax.jit(lambda k, a: net.init(k, a, False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 32), dt))
+        t = timed(lambda a, p: net.apply(p, a, False), cv, params)
+        print(f"{'FULL RegNetUS0':24s} {t*1e3:7.2f} ms "
+              f"(glue {1e3*(t-total):.2f})", flush=True)
+        results["full"] = round(t, 5)
     elif args.case == "pallas3d":
         # the per-slab wide-N Pallas kernel vs the same layers
         from mvsnet_tpu.ops.pallas.conv3d import rowconv3d
