@@ -194,10 +194,32 @@ def bench_train():
             "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0}
 
 
+def _probe_chip(timeout_s: float = 300.0) -> bool:
+    """Fail fast when the remote-TPU tunnel is down (observed to hang for
+    hours): tiny jit + scalar fetch on a watchdog thread. Returns False —
+    instead of hanging the driver — if the chip doesn't answer in time."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+        ok.append(float(jnp.sum(jnp.ones((8, 8)))) == 64.0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main() -> int:
     metric = os.environ.get("BENCH_METRIC", "3dcnn")
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
         metric = sys.argv[2]
+    if not _probe_chip():
+        print("bench.py: TPU tunnel unresponsive (probe timed out) — "
+              "no measurement possible", file=sys.stderr, flush=True)
+        os._exit(2)
     result = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]()
     print(json.dumps(result))
     return 0

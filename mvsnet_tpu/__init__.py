@@ -19,3 +19,31 @@ Package map (reference parity noted per module):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env() -> None:
+    """Honor MVSNET_TPU_PLATFORM as a platform override with top priority.
+
+    Some environments pin `jax_platforms` via jax.config at interpreter
+    start (sitecustomize) AND export JAX_PLATFORMS globally, so the
+    standard JAX env vars cannot redirect a subprocess to CPU — with an
+    unreachable remote TPU such a subprocess (fusion CLI, driver tests)
+    hangs at backend init. MVSNET_TPU_PLATFORM is this package's own
+    knob: applied at import time, before any backend initialization a
+    CLI would trigger, and never set by the environment itself.
+    """
+    import os  # noqa: PLC0415
+
+    plat = os.environ.get("MVSNET_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax  # noqa: PLC0415
+
+        if jax.config.jax_platforms != plat:
+            jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - jax absent or already initialized
+        pass
+
+
+_honor_platform_env()

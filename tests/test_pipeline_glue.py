@@ -37,9 +37,10 @@ def test_test_and_fuse_no_test_mode(tmp_path, monkeypatch):
     session = make_session(str(tmp_path / "sess"), n_images=4)
     _write_gt_predictions(session, os.path.join(session, "depths_mvsnet"))
 
-    # subprocesses must not touch the TPU tunnel: JAX_PLATFORM_NAME survives
-    # the sitecustomize platform pinning.
-    monkeypatch.setenv("JAX_PLATFORM_NAME", "cpu")
+    # subprocesses must not touch the TPU tunnel: the environment exports
+    # JAX_PLATFORMS=axon globally, so only the package's own
+    # MVSNET_TPU_PLATFORM override (mvsnet_tpu/__init__.py) can force CPU.
+    monkeypatch.setenv("MVSNET_TPU_PLATFORM", "cpu")
 
     ply_root = str(tmp_path / "plys")
     results = str(tmp_path / "fusion_results.csv")
