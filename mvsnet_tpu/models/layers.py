@@ -153,22 +153,42 @@ class _PallasConv2D(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        from mvsnet_tpu.ops.pallas.conv2d import rowconv2d  # noqa: PLC0415
+    def __call__(self, x, post_scale=None, post_shift=None,
+                 post_relu: bool = False):
+        from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
+            rowconv2d, rowconv2d_fused)
 
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
-        k = kernel
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            k = kernel.astype(self.dtype)
-        y = rowconv2d(x, k)
+        bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            y = y + bias.astype(y.dtype)
-        return y
+        fold = (post_scale is not None or post_shift is not None
+                or post_relu)
+        if not fold:
+            k = kernel
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                k = kernel.astype(self.dtype)
+            y = rowconv2d(x, k)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        # eval-only fused path (folded batch norm), mirrors _PallasConv3D
+        k = kernel
+        shift = bias
+        if post_scale is not None:
+            k = kernel * post_scale
+            if shift is not None:
+                shift = shift * post_scale
+        if post_shift is not None:
+            shift = post_shift if shift is None else shift + post_shift
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return rowconv2d_fused(x, k.astype(x.dtype), bias=shift,
+                               relu=post_relu)
 
 
 def _im2col_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
@@ -367,7 +387,10 @@ class Conv(nn.Module):
               and _pallas_conv2d_available(x, self.filters, self.kernel,
                                            self.stride, self.dilation)):
             y = _PallasConv2D(self.filters, use_bias=self.use_bias,
-                              dtype=self.dtype, name="Conv_0")(x)
+                              dtype=self.dtype,
+                              name="Conv_0")(x, post_scale, post_shift,
+                                             post_relu)
+            post_done = True
         elif (not use_wide
               and _im2col_conv2d_available(x, self.filters, self.kernel,
                                            self.stride, self.dilation)):

@@ -31,6 +31,67 @@ _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
 
 
+def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
+                         has_bias: bool = False, relu: bool = False):
+    """Carry edition: write each output row exactly ONCE.
+
+    out[y] = dy0·P(y-1) + dy1·P(y) + dy2·P(y+1), so walking source rows j
+    with the previous two tap matmuls (P(j-1), P(j-2)) as fori carries
+    finishes output row j-1 per iteration — no (H+2)-row staging scratch,
+    no 3x read-modify-write accumulation, no final staging→out copy (the
+    same structure as the deconv kernels' p_prev carry, deconv3d.py).
+    """
+
+    def kernel(x_ref, w_ref, *rest):
+        # x_ref: (1, H, C, W); w_ref: (3*Cout, 3*C) rows (dy, co), cols
+        # (dx, ci); b_ref (when has_bias): (Cout, W) f32; out_ref:
+        # (1, H, Cout, W).
+        if has_bias:
+            b_ref, out_ref = rest
+        else:
+            (out_ref,), b_ref = rest, None
+        w = w_ref[...]
+        zP = jnp.zeros((3 * Cout, W), jnp.float32)
+
+        def tap(j):
+            x = x_ref[0, pl.ds(j, 1)].reshape(C, W)
+            zc = jnp.zeros((C, 1), x.dtype)
+            left = jnp.concatenate([zc, x[:, :W - 1]], axis=1)
+            right = jnp.concatenate([x[:, 1:], zc], axis=1)
+            cat = jnp.concatenate([left, x, right], axis=0)   # (3C, W)
+            return jax.lax.dot_general(
+                w, cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (3*Cout, W)
+
+        def emit(v):
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            return v.astype(out_ref.dtype)
+
+        def row(j, carry):
+            p_prev, p_prev2 = carry                 # P(j-1), P(j-2)
+            p_cur = tap(j)
+            # out[j-1] = dy0 of P(j-2) + dy1 of P(j-1) + dy2 of P(j)
+            v = (p_prev2[0 * Cout:1 * Cout]
+                 + p_prev[1 * Cout:2 * Cout]
+                 + p_cur[2 * Cout:3 * Cout])
+
+            @pl.when(j >= 1)
+            def _():
+                out_ref[0, pl.ds(j - 1, 1)] = emit(v)[None]
+
+            return (p_cur, p_prev)
+
+        p_last, p_last2 = jax.lax.fori_loop(0, H, row, (zP, zP))
+        # bottom row: source row H would be zero padding
+        out_ref[0, pl.ds(H - 1, 1)] = emit(
+            p_last2[0 * Cout:1 * Cout] + p_last[1 * Cout:2 * Cout])[None]
+
+    return kernel
+
+
 def _make_kernel2d(H: int, W: int, C: int, Cout: int):
     def kernel(x_ref, w_ref, out_ref, st_ref):
         # x_ref: (1, H, C, W) one image, channel-second-minor;
@@ -101,30 +162,50 @@ def _weights_wide2d(kernel):
     return jnp.transpose(kernel, (0, 3, 1, 2)).reshape(kh * cout, kw * cin)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rowconv2d_fwd_impl(x, kernel, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
+                        interpret: bool = False):
+    import os  # noqa: PLC0415
+
     B, H, W, C = x.shape
     cout = kernel.shape[-1]
     w2 = _weights_wide2d(kernel)
     xt = jnp.transpose(x, (0, 1, 3, 2))                 # (B, H, C, W)
     nb = _num_bands(H, W, C, cout, jnp.dtype(x.dtype).itemsize) or 1
     hb = H // nb
+    has_bias = bias is not None
+    staging = bool(os.environ.get("MVSNET_TPU_CONV2D_STAGING"))
+    b2d = None
+    if has_bias:
+        b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (cout, W))
 
     def call(xb, hband):
+        if staging and not has_bias and not relu:
+            kern = _make_kernel2d(hband, W, C, cout)
+            scratch = [pltpu.VMEM((hband + 2, cout, W), jnp.float32)]
+        else:
+            kern = _make_kernel2d_carry(hband, W, C, cout, has_bias, relu)
+            scratch = []
+        in_specs = [
+            pl.BlockSpec((1, hband, C, W), lambda g: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cout, 3 * C), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [w2.astype(x.dtype)]
+        if has_bias and not staging:
+            in_specs.append(pl.BlockSpec((cout, W), lambda g: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b2d)
         return pl.pallas_call(
-            _make_kernel2d(hband, W, C, cout),
+            kern,
             grid=(1,),
-            in_specs=[
-                pl.BlockSpec((1, hband, C, W), lambda g: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * cout, 3 * C), lambda g: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hband, cout, W),
                                    lambda g: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, hband, cout, W), x.dtype),
-            scratch_shapes=[pltpu.VMEM((hband + 2, cout, W), jnp.float32)],
+            scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=_ARBITRARY1,
             cost_estimate=pl.CostEstimate(
@@ -132,7 +213,7 @@ def _rowconv2d_fwd_impl(x, kernel, interpret: bool = False):
                 bytes_accessed=hband * W * (C + cout) * x.dtype.itemsize,
                 transcendentals=0,
             ),
-        )(xb[None], w2.astype(x.dtype))
+        )(xb[None], *operands)
 
     def one(xb):
         if nb == 1:
@@ -195,3 +276,15 @@ def _vjp2d_bwd(res, g):
 
 
 rowconv2d.defvjp(_vjp2d_fwd, _vjp2d_bwd)
+
+
+def rowconv2d_fused(x, kernel, bias=None, relu: bool = False):
+    """Eval-only fused conv + per-channel bias + ReLU in one Pallas pass.
+
+    The bias add and ReLU ride the carry kernel's single output-row write
+    (like conv3d.rowconv3d_fused) — a folded eval-mode batch norm or a
+    conv bias costs zero extra HBM traffic. NOT differentiable — training
+    uses `rowconv2d` + unfused epilogues.
+    """
+    return _rowconv2d_fwd_impl(x, kernel, bias, relu=relu,
+                               interpret=_auto_interpret())

@@ -334,6 +334,38 @@ class TestRowConv2D:
                                    np.asarray(_xla_conv2d(x, k)),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_fused_epilogue_matches_xla(self):
+        """Carry-kernel fused bias + ReLU epilogue (rowconv2d_fused)."""
+        from mvsnet_tpu.ops.pallas.conv2d import _xla_conv2d, rowconv2d_fused
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 10, 24, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        ref = np.maximum(np.asarray(_xla_conv2d(x, k)) + np.asarray(b), 0.0)
+        got = np.asarray(rowconv2d_fused(x, k, bias=b, relu=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_staging_kernel_matches_carry(self):
+        """The env-gated legacy staging kernel stays equivalent to the
+        default carry kernel (chip A/B safety)."""
+        import unittest.mock as mock
+
+        from mvsnet_tpu.ops.pallas import conv2d
+
+        rng = np.random.default_rng(6)
+        # unique shape: the env knob is read at trace time, so a cached jit
+        # from another test would silently bypass it
+        x = jnp.asarray(rng.standard_normal((1, 14, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+        ref = np.asarray(conv2d._xla_conv2d(x, k))
+        with mock.patch.dict("os.environ",
+                             {"MVSNET_TPU_CONV2D_STAGING": "1"}):
+            got_staging = np.asarray(
+                conv2d._rowconv2d_fwd_impl(x, k, interpret=True))
+        np.testing.assert_allclose(got_staging, ref, atol=2e-5, rtol=1e-5)
+
     def test_banded_matches_whole(self):
         """H-banding (VMEM overflow fallback) is exact: force banding by
         shrinking the VMEM limit."""
