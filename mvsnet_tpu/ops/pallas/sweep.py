@@ -321,29 +321,45 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
                     jb8 = jb_ref[v, 0, 0, t, y]          # jbase / 8
                     kex = ke_ref[v, 0, 0, t, y]
 
-                    def hwin(start, jb8k, jlo, xrow=xrow, v=v):
+                    # Horizontal tent for the base K-window: depends only
+                    # on (row, tile) — built ONCE and shared by every
+                    # vertical block (it was rebuilt per block, ~1.6x the
+                    # VPU work per row-view at the 3DCNN rig).
+                    if KBLK == W:
+                        base_cols = iota_k
+                    else:
+                        base_cols = (jb8 * 8).astype(jnp.float32) + iota_k
+                    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(base_cols - xrow))
+                    wx0 = wx0.astype(src_dtype)          # (KBLK, TW)
+
+                    def hwin(start, jb8k, jlo, wx0=wx0, xrow=xrow, v=v):
                         # one (vertical band, K-window) tap matmul;
                         # jb8k*8 keeps the W-dim slice provably 8-aligned.
                         # KBLK == W: the window is the whole row — jb0 is
                         # statically 0, skip the per-block (KBLK, TW) add
                         # (measured +13 ms at the 3DCNN point).
-                        if KBLK == W:
-                            slab = cats_vmem[v, pl.ds(start, 1)]
-                            cols = iota_k
+                        if jlo is None:
+                            if KBLK == W:
+                                slab = cats_vmem[v, pl.ds(start, 1)]
+                            else:
+                                slab = cats_vmem[v, pl.ds(start, 1),
+                                                 pl.ds(jb8 * 8, KBLK)]
+                            wx = wx0
                         else:
                             jb0 = jb8k * 8
                             slab = cats_vmem[v, pl.ds(start, 1),
                                              pl.ds(jb0, KBLK)]
                             cols = jb0.astype(jnp.float32) + iota_k
-                        slab = slab.reshape(KBLK, BAND * C)
-                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols - xrow))
-                        if jlo is not None:
+                            wxf = jnp.maximum(0.0,
+                                              1.0 - jnp.abs(cols - xrow))
                             # clamped extra window: drop cols the previous
                             # window already covered
-                            wx = jnp.where(cols >= jlo.astype(jnp.float32),
-                                           wx, 0.0)
+                            wxf = jnp.where(cols >= jlo.astype(jnp.float32),
+                                            wxf, 0.0)
+                            wx = wxf.astype(src_dtype)
+                        slab = slab.reshape(KBLK, BAND * C)
                         return jax.lax.dot_general(
-                            slab, wx.astype(src_dtype),
+                            slab, wx,
                             (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=precision)             # (BAND*C, x)
@@ -374,14 +390,25 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
                             acc = acc + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
                         return acc                           # (C, TW)
 
+                    # Straight-line second vertical block: realistic rigs
+                    # have in-row spans around BAND (mean 9.1 at the 3DCNN
+                    # bench rig), so the k=1 extra block runs for MOST rows
+                    # anyway. Executing it unconditionally (the tent mask
+                    # makes it an exact zero when not needed) removes the
+                    # data-dependent fori_loop from the hot path — the
+                    # diagnosed MXU pipeline stall — leaving a zero-trip
+                    # residual loop only for spans > 2*BAND-1 (rare).
                     warped_t = block(rbase, None)
+                    lo1 = rbase + BAND
+                    warped_t = warped_t + block(
+                        jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
 
                     def extra(k, a, rbase=rbase, block=block):
                         lo = rbase + k * BAND
                         start = jnp.minimum(lo, H - BAND)
                         return a + block(start, (lo, lo + (BAND - 1)))
 
-                    tiles.append(jax.lax.fori_loop(1, nex + 1, extra,
+                    tiles.append(jax.lax.fori_loop(2, nex + 1, extra,
                                                    warped_t))
 
                 warped = tiles[0] if NT == 1 else jnp.concatenate(tiles,
