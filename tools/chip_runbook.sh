@@ -23,6 +23,11 @@ run() { # run <timeout_s> <label> <cmd...>
 say "runbook begin"
 run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exit 1; }
 
+# 0. Cost kernel: straight-line-block + hoisted-tent change, numerics
+#    checked on chip + timed at the 3DCNN point (realistic rig)
+run 2400 sweep_3dcnn python tools/bench_sweep.py --skip-warp
+run 2400 sweep_gru python tools/bench_sweep.py --point gru --skip-warp --skip-check
+
 # 1. RegNet layer-sum vs full module: does BN-fold close the in-graph glue?
 run 2400 regnetsum python tools/bench_conv.py --case regnetsum
 
