@@ -145,17 +145,23 @@ def _warp_row(src_band_fn, xrow, ycol, iota_j, iota_b, H, W, C, src_dtype):
             acc = acc + rw[:, r:r + 1] * hw[:, r * C:(r + 1) * C]
         return acc
 
+    # Straight-line second vertical block (exact zero when unneeded — the
+    # tent mask kills it): realistic rigs exceed BAND-1 spans routinely,
+    # and removing the data-dependent loop from the hot path lets Mosaic
+    # pipeline the two matmuls (same rationale as the preload kernel).
     out = block(rbase, None)
+    lo1 = rbase + BAND
+    out = out + block(jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
 
     def extra(k, acc):
         lo = rbase + k * BAND
         start = jnp.minimum(lo, H - BAND)
         return acc + block(start, (lo, lo + (BAND - 1)))
 
-    # Engages only when the in-row vertical shear exceeds BAND-2 rows
+    # Engages only when the in-row vertical shear exceeds 2*BAND-2 rows
     # (never, for plane-sweep homographies of real rigs); zero-trip
     # otherwise.
-    return jax.lax.fori_loop(1, nextra + 1, extra, out)
+    return jax.lax.fori_loop(2, nextra + 1, extra, out)
 
 
 def _make_band_cat(src_slice_fn, W, C):
@@ -511,11 +517,22 @@ def _preload_cchunk(height, width, channels, view_count_minus_1,
 
 
 def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
-                                interpret: bool = False):
-    """Slab-table fused cost volume (the Vm1<=2 fast path)."""
-    H, W, C = ref_feature.shape
+                                interpret: bool = False, row_offset=None,
+                                out_rows: int = 0):
+    """Slab-table fused cost volume (the Vm1<=2 fast path).
+
+    row_offset/out_rows: compute only output rows
+    [row_offset, row_offset + out_rows) — ref_feature then holds just those
+    rows while view_features stays full-height (the sharded multi-chip
+    wrapper's row decomposition; row_offset may be traced).
+    """
     Vm1, D = homographies.shape[:2]
-    assert H % ROWS_PER_CELL == 0 and H >= BAND
+    H, W, C = view_features.shape[1:]
+    out_rows = out_rows or H
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    assert out_rows % ROWS_PER_CELL == 0 and H >= BAND
+    assert ref_feature.shape == (out_rows, W, C)
 
     cchunk = _preload_cchunk(H, W, C, Vm1, view_features.dtype) or C
     if cchunk < C:
@@ -523,30 +540,36 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
             _pallas_cost_volume_preload(
                 ref_feature[..., c0:c0 + cchunk],
                 view_features[..., c0:c0 + cchunk],
-                homographies, interpret=interpret)
+                homographies, interpret=interpret, row_offset=row_offset,
+                out_rows=out_rows)
             for c0 in range(0, C, cchunk)
         ]
         return jnp.concatenate(parts, axis=-1)
 
     def coords(h):                                   # (D, 3, 3)
         x, y = projected_coords(h, H, W)
-        return x.reshape(D, H, W), y.reshape(D, H, W)
+        x = x.reshape(D, H, W)
+        y = y.reshape(D, H, W)
+        if out_rows != H:
+            x = jax.lax.dynamic_slice_in_dim(x, row_offset, out_rows, axis=1)
+            y = jax.lax.dynamic_slice_in_dim(y, row_offset, out_rows, axis=1)
+        return x, y
 
-    x, y = jax.vmap(coords)(homographies)            # (Vm1, D, H, W) f32
+    x, y = jax.vmap(coords)(homographies)            # (Vm1, D, rows, W) f32
     NT, TW, KBLK = _tile_params(W)
-    rows_blocks = H // ROWS_PER_CELL
-    xt = x.reshape(Vm1, D, H, NT, TW)
-    rbase, nextra = _band_table(y.reshape(Vm1, D, H, NT, TW), H)
-    jbase, kextra = _hwin_table(xt, W, KBLK)         # (Vm1, D, H, NT) i32
+    rows_blocks = out_rows // ROWS_PER_CELL
+    xt = x.reshape(Vm1, D, out_rows, NT, TW)
+    rbase, nextra = _band_table(y.reshape(Vm1, D, out_rows, NT, TW), H)
+    jbase, kextra = _hwin_table(xt, W, KBLK)         # (Vm1, D, rows, NT) i32
 
     def tbl(a):                                      # -> (.., RB, NT, ROWS)
         a = a.reshape(Vm1, D, rows_blocks, ROWS_PER_CELL, NT)
         return jnp.transpose(a, (0, 1, 2, 4, 3))
 
     cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
-    reft = jnp.transpose(ref_feature, (0, 2, 1))     # (H, C, W)
+    reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
 
-    grid = (D, H // ROWS_PER_CELL)
+    grid = (D, rows_blocks)
     smem_spec = pl.BlockSpec((Vm1, 1, 1, NT, ROWS_PER_CELL),
                              lambda d, rb: (0, d, rb, 0, 0),
                              memory_space=pltpu.SMEM)
@@ -566,7 +589,8 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
         out_specs=pl.BlockSpec((1, ROWS_PER_CELL, C, W),
                                lambda d, rb: (d, rb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, C, W), ref_feature.dtype),
+        out_shape=jax.ShapeDtypeStruct((D, out_rows, C, W),
+                                       ref_feature.dtype),
         scratch_shapes=[
             pltpu.VMEM((Vm1, H, W, BAND * C), view_features.dtype),
             pltpu.SemaphoreType.DMA(()),
@@ -574,14 +598,14 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
         interpret=interpret,
         compiler_params=_ARBITRARY2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * D * H * W * KBLK * BAND * C * Vm1,
-            bytes_accessed=(D * H * W * C * ref_feature.dtype.itemsize
+            flops=2 * D * out_rows * W * KBLK * BAND * C * Vm1,
+            bytes_accessed=(D * out_rows * W * C * ref_feature.dtype.itemsize
                             + Vm1 * H * W * BAND * C
                             * view_features.dtype.itemsize),
             transcendentals=0,
         ),
     )(x, y, tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra), reft, cats)
-    return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, H, W, C)
+    return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, rows, W, C)
 
 
 def pallas_sweep_supported(height: int, width: int, channels: int,
@@ -734,7 +758,10 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
                 out_ref[pl.ds(start + r, 1), :, :] += (
                     contrib[:, r * C:(r + 1) * C][None])
 
+        # straight-line second block, residual loop from k=2 (see _warp_row)
         block(rbase, None)
+        lo1 = rbase + BAND
+        block(jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
 
         def extra(k, _):
             lo = rbase + k * BAND
@@ -742,7 +769,7 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
             block(start, (lo, lo + (BAND - 1)))
             return 0
 
-        jax.lax.fori_loop(1, nextra + 1, extra, 0)
+        jax.lax.fori_loop(2, nextra + 1, extra, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "C", "interpret"))
@@ -875,11 +902,58 @@ def pallas_cost_sharded_supported(B: int, height: int, width: int,
     dd = mesh.shape.get("data", 1)
     dp = mesh.shape.get("depth", 1)
     sp = mesh.shape.get("space", 1)
-    return (B % dd == 0
+    if not (B % dd == 0
             and max_d % dp == 0
-            and height % (sp * ROWS_PER_CELL) == 0
-            and _blockres_cost_supported(height, width, channels,
-                                         view_count_minus_1, dtype))
+            and height % (sp * ROWS_PER_CELL) == 0):
+        return False
+    if view_count_minus_1 <= 2 and _preload_cchunk(
+            height, width, channels, view_count_minus_1, dtype):
+        return True
+    return _blockres_cost_supported(height, width, channels,
+                                    view_count_minus_1, dtype)
+
+
+def _pallas_cost_volume_preload_sharded(ref_feature, view_features,
+                                        homographies, mesh,
+                                        interpret: bool = False):
+    """shard_map'ed slab-table cost volume (the Vm1<=2 fast path, ~2.6x
+    the block-resident kernel on-chip).
+
+    Row decomposition: each device computes the output rows of its 'space'
+    shard via the preload wrapper's row_offset path — the slab tables are
+    built from the all-gathered full-height views, and the coords/SMEM
+    band tables are sliced to the shard's rows.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, C = ref_feature.shape
+    Vm1, _, D = homographies.shape[:3]
+    sp = mesh.shape.get("space", 1)
+    H_l = H // sp
+
+    def local_fn(homs_l, ref_l, views_l):
+        # homs_l: (Vm1, Bl, Dl, 3, 3); ref_l: (Bl, Hl, W, C);
+        # views_l: (Vm1, Bl, Hl, W, C)
+        views_full = jax.lax.all_gather(views_l, "space", axis=2, tiled=True)
+        row0 = (jax.lax.axis_index("space") * H_l).astype(jnp.int32)
+        Bl = ref_l.shape[0]
+        outs = [
+            _pallas_cost_volume_preload(
+                ref_l[b], views_full[:, b], homs_l[:, b],
+                interpret=interpret, row_offset=row0, out_rows=H_l)
+            for b in range(Bl)
+        ]
+        return jnp.stack(outs, axis=0)                # (Bl, Dl, Hl, W, C)
+
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, "data", "depth", None, None),
+                  P("data", "space", None, None),
+                  P(None, "data", "space", None, None)),
+        out_specs=P("data", "depth", "space", None, None),
+        # pallas_call does not propagate varying-mesh-axes metadata
+        check_vma=False,
+    )(homographies, ref_feature, view_features)
 
 
 def pallas_sweep_cost_volume_sharded(ref_feature, view_features, homographies,
@@ -906,6 +980,11 @@ def pallas_sweep_cost_volume_sharded(ref_feature, view_features, homographies,
     dp = mesh.shape.get("depth", 1)
     sp = mesh.shape.get("space", 1)
     assert B % dd == 0 and D % dp == 0 and H % (sp * ROWS_PER_CELL) == 0
+
+    if Vm1 <= 2 and _preload_cchunk(H, W, C, Vm1, view_features.dtype):
+        return _pallas_cost_volume_preload_sharded(
+            ref_feature, view_features, homographies, mesh,
+            interpret=interpret)
 
     def coords(h_):                                   # (D, 3, 3) per (v, b)
         return _coords_by_cell(h_, H, W)

@@ -170,10 +170,12 @@ def test_warp_vjp_forward_unchanged():
         np.asarray(pallas_warp_all_depths(img, homs, interpret=True)), atol=1e-6)
 
 
-def test_sharded_cost_volume_matches_single_device():
+@pytest.mark.parametrize("vm1", [2, 3])
+def test_sharded_cost_volume_matches_single_device(vm1):
     """shard_map'ed fused kernel on the 8-device CPU mesh == the XLA cost
     volume (VERDICT r1 weak #4: multi-chip inference used to abandon the
-    Pallas kernel entirely)."""
+    Pallas kernel entirely). Vm1=2 routes the slab-table preload kernel
+    (row_offset sharding); Vm1=3 the block-resident kernel."""
     from mvsnet_tpu.ops.pallas.sweep import (
         pallas_sweep_cost_volume_sharded, pallas_cost_sharded_supported)
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
@@ -181,14 +183,16 @@ def test_sharded_cost_volume_matches_single_device():
 
     mesh = make_mesh(8)                          # ('data','depth','space')=(2,2,2)
     rng = np.random.default_rng(7)
-    B, H, W, C, D, Vm1 = 2, 16, 24, 8, 4, 2
-    assert pallas_cost_sharded_supported(B, H, W, C, Vm1, D, mesh, jnp.float32)
+    B, H, W, C, D = 2, 16, 24, 8, 4
+    assert pallas_cost_sharded_supported(B, H, W, C, vm1, D, mesh, jnp.float32)
     ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
-    views = jnp.asarray(rng.standard_normal((Vm1, B, H, W, C)), jnp.float32)
-    homs = jnp.stack([
+    views = jnp.asarray(rng.standard_normal((vm1, B, H, W, C)), jnp.float32)
+    per_view = [
         jnp.stack([make_homs(D), make_homs(D, rot=-0.03, shift_range=8.0)]),
         jnp.stack([make_homs(D, rot=0.05), make_homs(D, shift_range=4.0)]),
-    ], axis=1)                                   # (Vm1, B, D, 3, 3)
+        jnp.stack([make_homs(D, rot=-0.02), make_homs(D, shift_range=2.0)]),
+    ]
+    homs = jnp.stack(per_view[:vm1], axis=0)     # (Vm1, B, D, 3, 3)
     got = pallas_sweep_cost_volume_sharded(ref, views, homs, mesh,
                                            interpret=True)
     expected = plane_sweep_cost_volume(ref, views, homs, use_pallas=False)
