@@ -121,7 +121,7 @@ def _pallas_deconv2d_available(x, filters, kernel, stride) -> bool:
 
 
 def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
-    """Route 3x3 s1 2D convs through ops/pallas/conv2d.rowconv2d on TPU
+    """Route 3x3 s1/s2 2D convs through ops/pallas/conv2d on TPU
     (same gating rules as the 3D dispatch)."""
     import os  # noqa: PLC0415
 
@@ -130,25 +130,31 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
     ndim = x.ndim - 2
     if not (ndim == 2
             and tuple(_pair(kernel, ndim)) == (3, 3)
-            and tuple(_pair(stride, ndim)) == (1, 1)
+            and tuple(_pair(stride, ndim)) in ((1, 1), (2, 2))
             and tuple(_pair(dilation, ndim)) == (1, 1)
             and jax.default_backend() == "tpu"):
         return False
-    from mvsnet_tpu.ops.pallas.conv2d import rowconv2d_supported  # noqa: PLC0415
+    from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
+        rowconv2d_s2_supported,
+        rowconv2d_supported,
+    )
     from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
 
     mesh = mesh_lib.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
         return False
     B, H, W, C = x.shape
+    if _pair(stride, ndim)[0] == 2:
+        return rowconv2d_s2_supported(H, W, C, filters, x.dtype)
     return rowconv2d_supported(H, W, C, filters, x.dtype)
 
 
 class _PallasConv2D(nn.Module):
-    """3x3 s1 conv via the per-row wide-N Pallas kernel; param layout
+    """3x3 s1/s2 conv via the per-row wide-N Pallas kernels; param layout
     matches nn.Conv so checkpoints are interchangeable."""
 
     features: int
+    stride: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
 
@@ -156,7 +162,16 @@ class _PallasConv2D(nn.Module):
     def __call__(self, x, post_scale=None, post_shift=None,
                  post_relu: bool = False):
         from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
-            rowconv2d, rowconv2d_fused)
+            rowconv2d,
+            rowconv2d_fused,
+            rowconv2d_s2,
+            rowconv2d_s2_fused,
+        )
+
+        if self.stride == 2:
+            conv_fn, fused_fn = rowconv2d_s2, rowconv2d_s2_fused
+        else:
+            conv_fn, fused_fn = rowconv2d, rowconv2d_fused
 
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -172,7 +187,7 @@ class _PallasConv2D(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 k = kernel.astype(self.dtype)
-            y = rowconv2d(x, k)
+            y = conv_fn(x, k)
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
@@ -187,8 +202,8 @@ class _PallasConv2D(nn.Module):
             shift = post_shift if shift is None else shift + post_shift
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        return rowconv2d_fused(x, k.astype(x.dtype), bias=shift,
-                               relu=post_relu)
+        return fused_fn(x, k.astype(x.dtype), bias=shift,
+                        relu=post_relu)
 
 
 def _im2col_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
@@ -386,8 +401,9 @@ class Conv(nn.Module):
         elif (not use_wide
               and _pallas_conv2d_available(x, self.filters, self.kernel,
                                            self.stride, self.dilation)):
-            y = _PallasConv2D(self.filters, use_bias=self.use_bias,
-                              dtype=self.dtype,
+            y = _PallasConv2D(self.filters,
+                              stride=_pair(self.stride, ndim)[0],
+                              use_bias=self.use_bias, dtype=self.dtype,
                               name="Conv_0")(x, post_scale, post_shift,
                                              post_relu)
             post_done = True

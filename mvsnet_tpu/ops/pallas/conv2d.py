@@ -128,6 +128,225 @@ def _make_kernel2d(H: int, W: int, C: int, Cout: int):
     return kernel
 
 
+def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int,
+                      has_bias: bool = False, relu: bool = False):
+    """Stride-2 variant over a pre-folded dx-tap table.
+
+    The wrapper builds cat[(i), dx*C + ci, x'] = x[i, 2x' + dx, ci]
+    (zero past the right edge) XLA-side, so each source row needs ONE
+    (3*Cout, 3C) @ (3C, W2) matmul; out row t = dy0·P(2t) + dy1·P(2t+1)
+    + dy2·P(2t+2) with P(2t) carried from the previous iteration (the
+    carry structure of _make_kernel2d_carry). Each output row is written
+    exactly once, with the optional bias/ReLU epilogue riding the write.
+    TB = output rows per band; the block holds 2*TB+1 source rows.
+    """
+
+    def kernel(cat_ref, w_ref, *rest):
+        # cat_ref: (1, 2*TB + 1, 3C, W2); w_ref: (3*Cout, 3*C) rows
+        # (dy, co); b_ref (when has_bias): (Cout, W2) f32;
+        # out_ref: (1, TB, Cout, W2).
+        if has_bias:
+            b_ref, out_ref = rest
+        else:
+            (out_ref,), b_ref = rest, None
+        w = w_ref[...]
+
+        def tap(i):
+            x = cat_ref[0, pl.ds(i, 1)].reshape(cat_ref.shape[2], W2)
+            return jax.lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (3*Cout, W2)
+
+        def emit(v):
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            return v.astype(out_ref.dtype)
+
+        def row(t, p_even):
+            p_odd = tap(2 * t + 1)
+            p_nxt = tap(2 * t + 2)
+            v = (p_even[0 * Cout:1 * Cout]
+                 + p_odd[1 * Cout:2 * Cout]
+                 + p_nxt[2 * Cout:3 * Cout])
+            out_ref[0, pl.ds(t, 1)] = emit(v)[None]
+            return p_nxt
+
+        jax.lax.fori_loop(0, TB, row, tap(0))
+
+    return kernel
+
+
+def _fold_dx_s2(x):
+    """(B, H, W, C) -> (B, H + 1, 3C, W2) dx-tap table for the s2 kernel.
+
+    rows: dx*C + ci; the +1 source row is zero padding so the kernel's
+    2t+2 read never clamps (SAME s2 pad_high covers both axes)."""
+    B, H, W, C = x.shape
+    W2 = W // 2
+    xf = x.reshape(B, H, W2, 2, C)
+    p0 = xf[:, :, :, 0]                                   # x[2x']
+    p1 = xf[:, :, :, 1]                                   # x[2x'+1]
+    p2 = jnp.concatenate([p0[:, :, 1:], jnp.zeros_like(p0[:, :, :1])],
+                         axis=2)                          # x[2x'+2]
+    cat = jnp.concatenate([p0, p1, p2], axis=3)           # (B, H, W2, 3C)
+    cat = jnp.transpose(cat, (0, 1, 3, 2))                # (B, H, 3C, W2)
+    return jnp.pad(cat, ((0, 0), (0, 1), (0, 0), (0, 0)))
+
+
+def _weights_wide2d_s2(kernel):
+    """(3,3,Cin,Cout) -> (3*Cout, 3*Cin): rows (dy, co), cols (dx, ci)."""
+    kh, kw, cin, cout = kernel.shape
+    return jnp.transpose(kernel, (0, 3, 1, 2)).reshape(kh * cout, kw * cin)
+
+
+def _s2_fits(TB: int, W2: int, C: int, Cout: int, item: int) -> bool:
+    w2pad = -(-W2 // 128) * 128
+    c3pad = -(-(3 * C) // 8) * 8
+    copad = -(-Cout // 8) * 8
+    cat = 2 * (2 * TB + 1) * c3pad * w2pad * item         # double-buffered
+    out = 2 * TB * copad * w2pad * item
+    return cat + out < _VMEM_LIMIT - 8 * 2 ** 20
+
+
+def _s2_band_rows(H2: int, W2: int, C: int, Cout: int, item: int) -> int:
+    """Largest output band TB dividing H2 whose blocks fit VMEM (0=none)."""
+    tb = H2
+    while tb >= 1:
+        if H2 % tb == 0 and _s2_fits(tb, W2, C, Cout, item):
+            return tb
+        tb //= 2
+    return 0
+
+
+def rowconv2d_s2_supported(H: int, W: int, C: int, Cout: int,
+                           dtype=jnp.bfloat16) -> bool:
+    item = jnp.dtype(dtype).itemsize
+    return (H % 2 == 0 and W % 16 == 0 and H >= 4 and C <= 64
+            and Cout <= 64
+            and _s2_band_rows(H // 2, W // 2, C, Cout, item) > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
+                           interpret: bool = False):
+    B, H, W, C = x.shape
+    cout = kernel.shape[-1]
+    H2, W2 = H // 2, W // 2
+    w2 = _weights_wide2d_s2(kernel).astype(x.dtype)
+    cat = _fold_dx_s2(x).astype(x.dtype)                  # (B, H+1, 3C, W2)
+    TB = _s2_band_rows(H2, W2, C, cout, jnp.dtype(x.dtype).itemsize)
+    assert TB > 0, (H, W, C, cout)
+    has_bias = bias is not None
+    b2d = None
+    if has_bias:
+        b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
+                               (cout, W2))
+
+    kern = _make_kernel2d_s2(TB, W2, C, cout, has_bias, relu)
+
+    def band(cb):                                         # (2TB+1, 3C, W2)
+        in_specs = [
+            pl.BlockSpec((1, 2 * TB + 1, 3 * C, W2),
+                         lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [w2]
+        if has_bias:
+            in_specs.append(pl.BlockSpec((cout, W2), lambda g: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b2d)
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, TB, cout, W2),
+                                   lambda g: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, TB, cout, W2), x.dtype),
+            interpret=interpret,
+            compiler_params=_ARBITRARY1,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * TB * W2 * 9 * C * cout * 2,
+                bytes_accessed=TB * W2 * (6 * C + cout) * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+        )(cb[None], *operands)
+
+    def one(cb):                                          # (H+1, 3C, W2)
+        parts = []
+        for t0 in range(0, H2, TB):
+            parts.append(band(cb[2 * t0:2 * t0 + 2 * TB + 1]))
+        return jnp.concatenate(parts, axis=1)
+
+    out = jnp.concatenate([one(cat[b]) for b in range(B)], axis=0)
+    return jnp.transpose(out, (0, 1, 3, 2))               # (B, H2, W2, Cout)
+
+
+def _xla_conv2d_s2(x, kernel):
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(x, kernel, (2, 2), "SAME",
+                                        dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def rowconv2d_s2(x, kernel):
+    """SAME stride-2 3x3 conv, (B, H, W, Cin) @ (3,3,Cin,Cout).
+
+    Drop-in for lax.conv_general_dilated(..., (2,2), 'SAME') NHWC/HWIO —
+    the UNetDS2GN encoder's downsampling convs (the 3->16 image stem runs
+    at 0.1 TF/s through XLA: Cin pads to the 128-lane MXU per tap).
+    Differentiable: dx rides the parity-split Pallas deconv (the exact
+    adjoint); dk uses XLA's native wgrad.
+    """
+    return _rowconv2d_s2_fwd_impl(x, kernel, interpret=_auto_interpret())
+
+
+def _s2_vjp_fwd(x, kernel):
+    return (_rowconv2d_s2_fwd_impl(x, kernel, interpret=_auto_interpret()),
+            (x, kernel))
+
+
+def _s2_vjp_bwd(res, g):
+    from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
+        _xla_deconv2d,
+        rowdeconv2d_supported,
+        rowdeconv2d,
+    )
+    x, kernel = res
+    g = g.astype(x.dtype)
+    # adjoint of the SAME s2 conv = the parity-split deconv with the
+    # spatially-flipped, io-transposed kernel (deconv2d.py module doc)
+    q = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(x.dtype)
+    gH, gW = g.shape[1:3]
+    if (jax.default_backend() == "tpu"
+            and rowdeconv2d_supported(gH, gW, q.shape[2], q.shape[3],
+                                      g.dtype)):
+        dx = rowdeconv2d(g, q)
+    else:
+        dx = _xla_deconv2d(g, q)
+    dx = dx[:, :x.shape[1], :x.shape[2]]
+    _, wgrad = jax.vjp(lambda k: _xla_conv2d_s2(x, k), kernel)
+    (dk,) = wgrad(g)
+    return dx, dk
+
+
+rowconv2d_s2.defvjp(_s2_vjp_fwd, _s2_vjp_bwd)
+
+
+def rowconv2d_s2_fused(x, kernel, bias=None, relu: bool = False):
+    """Eval-only fused s2 conv + per-channel bias + ReLU (one Pallas pass)."""
+    return _rowconv2d_s2_fwd_impl(x, kernel, bias, relu=relu,
+                                  interpret=_auto_interpret())
+
+
+def rowconv2d_s2_interpret(x, kernel):
+    return _rowconv2d_s2_fwd_impl(x, kernel, interpret=True)
+
+
 def _fits(H: int, W: int, C: int, Cout: int, item: int) -> bool:
     wpad = -(-W // 128) * 128
     cpad = -(-C // 8) * 8

@@ -405,6 +405,70 @@ class TestRowConv2D:
                                    atol=2e-4, rtol=1e-5)
 
 
+class TestRowConv2DS2:
+    """Stride-2 2D conv kernel over the pre-folded dx-tap table."""
+
+    @pytest.mark.parametrize("cin,cout,shape",
+                             [(3, 16, (8, 32)), (16, 32, (6, 16)),
+                              (8, 8, (10, 48))])
+    def test_matches_xla_conv(self, cin, cout, shape):
+        from mvsnet_tpu.ops.pallas.conv2d import (
+            _xla_conv2d_s2,
+            rowconv2d_s2_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        H, W = shape
+        x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        ref = np.asarray(_xla_conv2d_s2(x, k))
+        got = np.asarray(rowconv2d_s2_interpret(x, k))
+        assert got.shape == ref.shape == (2, H // 2, W // 2, cout)
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_fused_epilogue(self):
+        from mvsnet_tpu.ops.pallas.conv2d import (
+            _xla_conv2d_s2,
+            rowconv2d_s2_fused,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+        ref = np.maximum(np.asarray(_xla_conv2d_s2(x, k)) + np.asarray(b),
+                         0.0)
+        got = np.asarray(rowconv2d_s2_fused(x, k, bias=b, relu=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_grads_match_xla(self):
+        from mvsnet_tpu.ops.pallas.conv2d import _xla_conv2d_s2, rowconv2d_s2
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 12, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+        g1 = jax.grad(lambda a, c: jnp.sum(_xla_conv2d_s2(a, c) ** 2),
+                      (0, 1))(x, k)
+        g2 = jax.grad(lambda a, c: jnp.sum(rowconv2d_s2(a, c) ** 2),
+                      (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                                   atol=2e-4, rtol=1e-5)
+
+    def test_supported_model(self):
+        from mvsnet_tpu.ops.pallas.conv2d import rowconv2d_s2_supported
+
+        # the UNetDS2GN encoder at 1152x864 (3 views batched)
+        assert rowconv2d_s2_supported(864, 1152, 3, 16)   # 2dconv1_0 stem
+        assert rowconv2d_s2_supported(432, 576, 16, 32)   # 2dconv2_0
+        assert rowconv2d_s2_supported(216, 288, 32, 64)   # 2dconv3_0
+        # 4_0's 64->128 exceeds the Cout gate: stays on XLA (MXU-decent)
+        assert not rowconv2d_s2_supported(108, 144, 64, 128)
+
+
 class TestRowDeconv3D:
     """Parity-split s2 deconv kernel (ops/pallas/deconv3d.py) vs
     flax/lax conv_transpose (the nn.ConvTranspose path it replaces)."""
