@@ -128,9 +128,11 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
     if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
         return False
     ndim = x.ndim - 2
-    if not (ndim == 2
-            and tuple(_pair(kernel, ndim)) == (3, 3)
-            and tuple(_pair(stride, ndim)) in ((1, 1), (2, 2))
+    k = tuple(_pair(kernel, ndim))
+    s = tuple(_pair(stride, ndim))
+    ok = (k == (3, 3) and s in ((1, 1), (2, 2))) or (k == (5, 5)
+                                                     and s == (2, 2))
+    if not (ndim == 2 and ok
             and tuple(_pair(dilation, ndim)) == (1, 1)
             and jax.default_backend() == "tpu"):
         return False
@@ -144,17 +146,18 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
     if mesh is not None and mesh.devices.size > 1:
         return False
     B, H, W, C = x.shape
-    if _pair(stride, ndim)[0] == 2:
-        return rowconv2d_s2_supported(H, W, C, filters, x.dtype)
+    if s[0] == 2:
+        return rowconv2d_s2_supported(H, W, C, filters, x.dtype, K=k[0])
     return rowconv2d_supported(H, W, C, filters, x.dtype)
 
 
 class _PallasConv2D(nn.Module):
-    """3x3 s1/s2 conv via the per-row wide-N Pallas kernels; param layout
-    matches nn.Conv so checkpoints are interchangeable."""
+    """3x3 s1/s2 and 5x5 s2 convs via the per-row wide-N Pallas kernels;
+    param layout matches nn.Conv so checkpoints are interchangeable."""
 
     features: int
     stride: int = 1
+    kernel_size: int = 3
     use_bias: bool = True
     dtype: Optional[Dtype] = None
 
@@ -174,8 +177,9 @@ class _PallasConv2D(nn.Module):
             conv_fn, fused_fn = rowconv2d, rowconv2d_fused
 
         cin = x.shape[-1]
+        ks = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, cin, self.features), jnp.float32)
+                            (ks, ks, cin, self.features), jnp.float32)
         bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -403,6 +407,7 @@ class Conv(nn.Module):
                                            self.stride, self.dilation)):
             y = _PallasConv2D(self.filters,
                               stride=_pair(self.stride, ndim)[0],
+                              kernel_size=_pair(self.kernel, ndim)[0],
                               use_bias=self.use_bias, dtype=self.dtype,
                               name="Conv_0")(x, post_scale, post_shift,
                                              post_relu)

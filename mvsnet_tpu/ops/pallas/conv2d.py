@@ -128,21 +128,22 @@ def _make_kernel2d(H: int, W: int, C: int, Cout: int):
     return kernel
 
 
-def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int,
+def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int, K: int = 3,
                       has_bias: bool = False, relu: bool = False):
-    """Stride-2 variant over a pre-folded dx-tap table.
+    """Stride-2 variant over a pre-folded dx-tap table, K in {3, 5}.
 
-    The wrapper builds cat[(i), dx*C + ci, x'] = x[i, 2x' + dx, ci]
-    (zero past the right edge) XLA-side, so each source row needs ONE
-    (3*Cout, 3C) @ (3C, W2) matmul; out row t = dy0·P(2t) + dy1·P(2t+1)
-    + dy2·P(2t+2) with P(2t) carried from the previous iteration (the
-    carry structure of _make_kernel2d_carry). Each output row is written
-    exactly once, with the optional bias/ReLU epilogue riding the write.
-    TB = output rows per band; the block holds 2*TB+1 source rows.
+    The wrapper builds cat[(i), dx*C + ci, x'] = x[i - pl, 2x' + dx - pl]
+    (pl = SAME pad_low = (K-2)//2, zeros outside) XLA-side, so each source
+    row needs ONE (K*Cout, K*C) @ (K*C, W2) matmul; out row t sums the dy
+    blocks of P(2t) .. P(2t+K-1) with the first K-2 taps carried from the
+    previous iteration — 2 fresh matmuls per output row (one per consumed
+    source row, the streaming optimum). Each output row is written exactly
+    once, with the optional bias/ReLU epilogue riding the write.
+    TB = output rows per band; the block holds 2*TB + K - 2 table rows.
     """
 
     def kernel(cat_ref, w_ref, *rest):
-        # cat_ref: (1, 2*TB + 1, 3C, W2); w_ref: (3*Cout, 3*C) rows
+        # cat_ref: (1, 2*TB + K - 2, K*C, W2); w_ref: (K*Cout, K*C) rows
         # (dy, co); b_ref (when has_bias): (Cout, W2) f32;
         # out_ref: (1, TB, Cout, W2).
         if has_bias:
@@ -152,10 +153,10 @@ def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int,
         w = w_ref[...]
 
         def tap(i):
-            x = cat_ref[0, pl.ds(i, 1)].reshape(cat_ref.shape[2], W2)
+            x = cat_ref[0, pl.ds(i, 1)].reshape(K * C, W2)
             return jax.lax.dot_general(
                 w, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (3*Cout, W2)
+                preferred_element_type=jnp.float32)        # (K*Cout, W2)
 
         def emit(v):
             if b_ref is not None:
@@ -164,91 +165,93 @@ def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int,
                 v = jnp.maximum(v, 0.0)
             return v.astype(out_ref.dtype)
 
-        def row(t, p_even):
-            p_odd = tap(2 * t + 1)
-            p_nxt = tap(2 * t + 2)
-            v = (p_even[0 * Cout:1 * Cout]
-                 + p_odd[1 * Cout:2 * Cout]
-                 + p_nxt[2 * Cout:3 * Cout])
+        def row(t, carry):                # carry: P(2t) .. P(2t+K-3)
+            pa = tap(2 * t + K - 2)
+            pb = tap(2 * t + K - 1)
+            ps = carry + (pa, pb)
+            v = ps[0][0:Cout]
+            for dy in range(1, K):
+                v = v + ps[dy][dy * Cout:(dy + 1) * Cout]
             out_ref[0, pl.ds(t, 1)] = emit(v)[None]
-            return p_nxt
+            return ps[2:]
 
-        jax.lax.fori_loop(0, TB, row, tap(0))
+        init = tuple(tap(i) for i in range(K - 2))
+        jax.lax.fori_loop(0, TB, row, init)
 
     return kernel
 
 
-def _fold_dx_s2(x):
-    """(B, H, W, C) -> (B, H + 1, 3C, W2) dx-tap table for the s2 kernel.
+def _fold_dx_s2(x, K: int = 3):
+    """(B, H, W, C) -> (B, H + K - 2, K*C, W2) dx-tap table.
 
-    rows: dx*C + ci; the +1 source row is zero padding so the kernel's
-    2t+2 read never clamps (SAME s2 pad_high covers both axes)."""
+    table[i, dx*C + ci, x'] = x[i - pl, 2x' + dx - pl, ci] with
+    pl = (K-2)//2 (the SAME-s2 low pad), zeros outside the image."""
     B, H, W, C = x.shape
     W2 = W // 2
-    xf = x.reshape(B, H, W2, 2, C)
-    p0 = xf[:, :, :, 0]                                   # x[2x']
-    p1 = xf[:, :, :, 1]                                   # x[2x'+1]
-    p2 = jnp.concatenate([p0[:, :, 1:], jnp.zeros_like(p0[:, :, :1])],
-                         axis=2)                          # x[2x'+2]
-    cat = jnp.concatenate([p0, p1, p2], axis=3)           # (B, H, W2, 3C)
-    cat = jnp.transpose(cat, (0, 1, 3, 2))                # (B, H, 3C, W2)
-    return jnp.pad(cat, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    pl_ = (K - 2) // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pl_, K - 1 - pl_), (0, 0)))
+    planes = [xp[:, :, dx:dx + 2 * W2:2] for dx in range(K)]  # (B,H,W2,C) each
+    cat = jnp.concatenate(planes, axis=3)                 # (B, H, W2, K*C)
+    cat = jnp.transpose(cat, (0, 1, 3, 2))                # (B, H, K*C, W2)
+    return jnp.pad(cat, ((0, 0), (pl_, K - 2 - pl_), (0, 0), (0, 0)))
 
 
 def _weights_wide2d_s2(kernel):
-    """(3,3,Cin,Cout) -> (3*Cout, 3*Cin): rows (dy, co), cols (dx, ci)."""
+    """(K,K,Cin,Cout) -> (K*Cout, K*Cin): rows (dy, co), cols (dx, ci)."""
     kh, kw, cin, cout = kernel.shape
     return jnp.transpose(kernel, (0, 3, 1, 2)).reshape(kh * cout, kw * cin)
 
 
-def _s2_fits(TB: int, W2: int, C: int, Cout: int, item: int) -> bool:
+def _s2_fits(TB: int, W2: int, C: int, Cout: int, K: int, item: int) -> bool:
     w2pad = -(-W2 // 128) * 128
-    c3pad = -(-(3 * C) // 8) * 8
+    ckpad = -(-(K * C) // 8) * 8
     copad = -(-Cout // 8) * 8
-    cat = 2 * (2 * TB + 1) * c3pad * w2pad * item         # double-buffered
+    cat = 2 * (2 * TB + K - 2) * ckpad * w2pad * item     # double-buffered
     out = 2 * TB * copad * w2pad * item
     return cat + out < _VMEM_LIMIT - 8 * 2 ** 20
 
 
-def _s2_band_rows(H2: int, W2: int, C: int, Cout: int, item: int) -> int:
+def _s2_band_rows(H2: int, W2: int, C: int, Cout: int, K: int,
+                  item: int) -> int:
     """Largest output band TB dividing H2 whose blocks fit VMEM (0=none)."""
     tb = H2
     while tb >= 1:
-        if H2 % tb == 0 and _s2_fits(tb, W2, C, Cout, item):
+        if H2 % tb == 0 and _s2_fits(tb, W2, C, Cout, K, item):
             return tb
         tb //= 2
     return 0
 
 
 def rowconv2d_s2_supported(H: int, W: int, C: int, Cout: int,
-                           dtype=jnp.bfloat16) -> bool:
+                           dtype=jnp.bfloat16, K: int = 3) -> bool:
     item = jnp.dtype(dtype).itemsize
-    return (H % 2 == 0 and W % 16 == 0 and H >= 4 and C <= 64
-            and Cout <= 64
-            and _s2_band_rows(H // 2, W // 2, C, Cout, item) > 0)
+    return (K in (3, 5) and H % 2 == 0 and W % 16 == 0 and H >= 2 * K
+            and C <= 64 and Cout <= 64
+            and _s2_band_rows(H // 2, W // 2, C, Cout, K, item) > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "interpret"))
 def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
                            interpret: bool = False):
     B, H, W, C = x.shape
-    cout = kernel.shape[-1]
+    K, cout = kernel.shape[0], kernel.shape[-1]
     H2, W2 = H // 2, W // 2
     w2 = _weights_wide2d_s2(kernel).astype(x.dtype)
-    cat = _fold_dx_s2(x).astype(x.dtype)                  # (B, H+1, 3C, W2)
-    TB = _s2_band_rows(H2, W2, C, cout, jnp.dtype(x.dtype).itemsize)
-    assert TB > 0, (H, W, C, cout)
+    cat = _fold_dx_s2(x, K).astype(x.dtype)           # (B, H+K-2, K*C, W2)
+    TB = _s2_band_rows(H2, W2, C, cout, K, jnp.dtype(x.dtype).itemsize)
+    assert TB > 0, (H, W, C, cout, K)
     has_bias = bias is not None
     b2d = None
     if has_bias:
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
                                (cout, W2))
 
-    kern = _make_kernel2d_s2(TB, W2, C, cout, has_bias, relu)
+    kern = _make_kernel2d_s2(TB, W2, C, cout, K, has_bias, relu)
+    rows_blk = 2 * TB + K - 2
 
-    def band(cb):                                         # (2TB+1, 3C, W2)
+    def band(cb):                                     # (rows_blk, K*C, W2)
         in_specs = [
-            pl.BlockSpec((1, 2 * TB + 1, 3 * C, W2),
+            pl.BlockSpec((1, rows_blk, K * C, W2),
                          lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -269,20 +272,21 @@ def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
             interpret=interpret,
             compiler_params=_ARBITRARY1,
             cost_estimate=pl.CostEstimate(
-                flops=2 * TB * W2 * 9 * C * cout * 2,
-                bytes_accessed=TB * W2 * (6 * C + cout) * x.dtype.itemsize,
+                flops=2 * TB * W2 * K * K * C * cout * 2,
+                bytes_accessed=(TB * W2 * (2 * K * C + cout)
+                                * x.dtype.itemsize),
                 transcendentals=0,
             ),
         )(cb[None], *operands)
 
-    def one(cb):                                          # (H+1, 3C, W2)
+    def one(cb):                                      # (H+K-2, K*C, W2)
         parts = []
         for t0 in range(0, H2, TB):
-            parts.append(band(cb[2 * t0:2 * t0 + 2 * TB + 1]))
+            parts.append(band(cb[2 * t0:2 * t0 + rows_blk]))
         return jnp.concatenate(parts, axis=1)
 
     out = jnp.concatenate([one(cat[b]) for b in range(B)], axis=0)
-    return jnp.transpose(out, (0, 1, 3, 2))               # (B, H2, W2, Cout)
+    return jnp.transpose(out, (0, 1, 3, 2))           # (B, H2, W2, Cout)
 
 
 def _xla_conv2d_s2(x, kernel):
@@ -294,13 +298,14 @@ def _xla_conv2d_s2(x, kernel):
 
 @jax.custom_vjp
 def rowconv2d_s2(x, kernel):
-    """SAME stride-2 3x3 conv, (B, H, W, Cin) @ (3,3,Cin,Cout).
+    """SAME stride-2 KxK conv (K in {3, 5}), (B,H,W,Cin) @ (K,K,Cin,Cout).
 
     Drop-in for lax.conv_general_dilated(..., (2,2), 'SAME') NHWC/HWIO —
     the UNetDS2GN encoder's downsampling convs (the 3->16 image stem runs
-    at 0.1 TF/s through XLA: Cin pads to the 128-lane MXU per tap).
-    Differentiable: dx rides the parity-split Pallas deconv (the exact
-    adjoint); dk uses XLA's native wgrad.
+    at 0.1 TF/s through XLA: Cin pads to the 128-lane MXU per tap) and
+    the 5x5 s2 tail convs (conv9_0/conv10_0; reference topology
+    mvsnetworks.py:53-115). Differentiable: K=3 dx rides the parity-split
+    Pallas deconv (the exact adjoint); otherwise XLA's gradient conv.
     """
     return _rowconv2d_s2_fwd_impl(x, kernel, interpret=_auto_interpret())
 
@@ -312,9 +317,8 @@ def _s2_vjp_fwd(x, kernel):
 
 def _s2_vjp_bwd(res, g):
     from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
-        _xla_deconv2d,
-        rowdeconv2d_supported,
         rowdeconv2d,
+        rowdeconv2d_supported,
     )
     x, kernel = res
     g = g.astype(x.dtype)
@@ -322,13 +326,15 @@ def _s2_vjp_bwd(res, g):
     # spatially-flipped, io-transposed kernel (deconv2d.py module doc)
     q = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(x.dtype)
     gH, gW = g.shape[1:3]
-    if (jax.default_backend() == "tpu"
+    if (kernel.shape[0] == 3 and jax.default_backend() == "tpu"
             and rowdeconv2d_supported(gH, gW, q.shape[2], q.shape[3],
                                       g.dtype)):
-        dx = rowdeconv2d(g, q)
+        dx = rowdeconv2d(g, q)[:, :x.shape[1], :x.shape[2]]
     else:
-        dx = _xla_deconv2d(g, q)
-    dx = dx[:, :x.shape[1], :x.shape[2]]
+        # exact by construction (k=5 SAME pads are asymmetric; deriving
+        # the conv_transpose offset by hand is error-prone)
+        _, xgrad = jax.vjp(lambda a: _xla_conv2d_s2(a, kernel), x)
+        (dx,) = xgrad(g)
     _, wgrad = jax.vjp(lambda k: _xla_conv2d_s2(x, k), kernel)
     (dk,) = wgrad(g)
     return dx, dk

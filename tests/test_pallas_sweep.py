@@ -408,10 +408,11 @@ class TestRowConv2D:
 class TestRowConv2DS2:
     """Stride-2 2D conv kernel over the pre-folded dx-tap table."""
 
-    @pytest.mark.parametrize("cin,cout,shape",
-                             [(3, 16, (8, 32)), (16, 32, (6, 16)),
-                              (8, 8, (10, 48))])
-    def test_matches_xla_conv(self, cin, cout, shape):
+    @pytest.mark.parametrize("kk,cin,cout,shape",
+                             [(3, 3, 16, (8, 32)), (3, 16, 32, (6, 16)),
+                              (3, 8, 8, (10, 48)), (5, 8, 16, (10, 32)),
+                              (5, 16, 32, (12, 16)), (5, 3, 8, (14, 48))])
+    def test_matches_xla_conv(self, kk, cin, cout, shape):
         from mvsnet_tpu.ops.pallas.conv2d import (
             _xla_conv2d_s2,
             rowconv2d_s2_interpret,
@@ -420,12 +421,27 @@ class TestRowConv2DS2:
         rng = np.random.default_rng(0)
         H, W = shape
         x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+        k = jnp.asarray(rng.standard_normal((kk, kk, cin, cout)) * 0.1,
                         jnp.float32)
         ref = np.asarray(_xla_conv2d_s2(x, k))
         got = np.asarray(rowconv2d_s2_interpret(x, k))
         assert got.shape == ref.shape == (2, H // 2, W // 2, cout)
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    def test_grads_match_xla_k5(self):
+        from mvsnet_tpu.ops.pallas.conv2d import _xla_conv2d_s2, rowconv2d_s2
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 12, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((5, 5, 8, 8)) * 0.1, jnp.float32)
+        g1 = jax.grad(lambda a, c: jnp.sum(_xla_conv2d_s2(a, c) ** 2),
+                      (0, 1))(x, k)
+        g2 = jax.grad(lambda a, c: jnp.sum(rowconv2d_s2(a, c) ** 2),
+                      (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                                   atol=2e-4, rtol=1e-5)
 
     def test_fused_epilogue(self):
         from mvsnet_tpu.ops.pallas.conv2d import (
@@ -467,6 +483,9 @@ class TestRowConv2DS2:
         assert rowconv2d_s2_supported(216, 288, 32, 64)   # 2dconv3_0
         # 4_0's 64->128 exceeds the Cout gate: stays on XLA (MXU-decent)
         assert not rowconv2d_s2_supported(108, 144, 64, 128)
+        # the 5x5 s2 tail convs (conv9_0 / conv10_0)
+        assert rowconv2d_s2_supported(864, 1152, 8, 16, K=5)
+        assert rowconv2d_s2_supported(432, 576, 16, 32, K=5)
 
 
 class TestRowDeconv3D:
