@@ -92,6 +92,103 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
     return kernel
 
 
+def _make_kernel2d_packed(H: int, W: int, C: int, Cout: int, PACK: int,
+                          has_bias: bool = False, relu: bool = False):
+    """Lane-packed s1 edition (the 2D sibling of conv3d's packed kernel):
+    PACK consecutive image rows ride the lane axis, so one tap matmul
+    covers PACK rows and the fixed per-row cost amortizes. Input arrives
+    XLA-side packed as (H/PACK, C, PACK*W), lane = p*W + x; dx shifts are
+    lane shifts with row-boundary leak columns masked; dy taps lane-roll
+    by +-W with the wrapped row stitched from the neighbouring packed row
+    (carried, single-write rows like _make_kernel2d_carry).
+    """
+    HP = H // PACK
+    WP = PACK * W
+
+    def kernel(x_ref, w_ref, *rest):
+        # x_ref: (1, HP, C, WP); w_ref: (3*Cout, 3*C) rows (dy, co);
+        # b_ref (when has_bias): (Cout, WP) f32; out_ref: (1, HP, Cout, WP).
+        if has_bias:
+            b_ref, out_ref = rest
+        else:
+            (out_ref,), b_ref = rest, None
+        w = w_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, WP), 1)
+        m_left = (lane % W != 0).astype(w.dtype)         # kill x=0 leak
+        m_right = (lane % W != W - 1).astype(w.dtype)    # kill x=W-1
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (Cout, WP), 1)
+        first_row = lane_o < W                           # packed row 0
+        last_row = lane_o >= WP - W                      # packed row -1
+
+        def tap(t):
+            xq = x_ref[0, pl.ds(jnp.minimum(t, HP - 1), 1)].reshape(C, WP)
+            zc = jnp.zeros((C, 1), xq.dtype)
+            left = jnp.concatenate([zc, xq[:, :WP - 1]], axis=1)
+            right = jnp.concatenate([xq[:, 1:], zc], axis=1)
+            cat = jnp.concatenate(
+                [left * m_left, xq, right * m_right], axis=0)
+            P = jax.lax.dot_general(
+                w, cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (3*Cout, WP)
+            return jnp.where(t < HP, P, 0.0)
+
+        def blk(P, dy):
+            return P[dy * Cout:(dy + 1) * Cout]          # (Cout, WP)
+
+        def emit(v):
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            return v.astype(out_ref.dtype)
+
+        def row(t, carry):
+            p_prev, p_cur = carry                        # P(t-1), P(t)
+            p_next = tap(t + 1)
+            # dy=0 taps: source rows one image row up — lane-roll right by
+            # W; packed row 0 stitches from the previous packed group
+            up = jnp.where(first_row,
+                           pltpu.roll(blk(p_prev, 0), W, 1),
+                           pltpu.roll(blk(p_cur, 0), W, 1))
+            # dy=2 taps: one image row down (cyclic right by WP - W ==
+            # left by W; pltpu.roll wants shift >= 0)
+            dn = jnp.where(last_row,
+                           pltpu.roll(blk(p_next, 2), WP - W, 1),
+                           pltpu.roll(blk(p_cur, 2), WP - W, 1))
+            out_ref[0, pl.ds(t, 1)] = emit(up + blk(p_cur, 1) + dn)[None]
+            return p_cur, p_next
+
+        p0 = jnp.zeros((3 * Cout, WP), jnp.float32)
+        jax.lax.fori_loop(0, HP, row, (p0, tap(0)))
+
+    return kernel
+
+
+def _pack2d(H: int, W: int, C: int, Cout: int, item: int) -> int:
+    """Packing factor for the s1 kernel: PACK rows on lanes when C is
+    small (the per-row fixed cost dominates; conv3d measured pack wins
+    only for C <= 16) and the packed whole-image blocks fit VMEM."""
+    import os  # noqa: PLC0415
+
+    forced = os.environ.get("MVSNET_TPU_CONV_PACK2D")
+    if forced:
+        cand = int(forced)
+    elif C <= 16:
+        cand = 4
+    else:
+        return 1
+    while cand > 1:
+        if H % cand == 0:
+            wp = -(-(cand * W) // 128) * 128
+            cpad = -(-C // 8) * 8
+            copad = -(-Cout // 8) * 8
+            blocks = 2 * (H // cand) * (cpad + copad) * wp * item
+            if blocks < _VMEM_LIMIT - 8 * 2 ** 20:
+                return cand
+        cand //= 2
+    return 1
+
+
 def _make_kernel2d(H: int, W: int, C: int, Cout: int):
     def kernel(x_ref, w_ref, out_ref, st_ref):
         # x_ref: (1, H, C, W) one image, channel-second-minor;
@@ -396,13 +493,59 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
     cout = kernel.shape[-1]
     w2 = _weights_wide2d(kernel)
     xt = jnp.transpose(x, (0, 1, 3, 2))                 # (B, H, C, W)
-    nb = _num_bands(H, W, C, cout, jnp.dtype(x.dtype).itemsize) or 1
+    item = jnp.dtype(x.dtype).itemsize
+    nb = _num_bands(H, W, C, cout, item) or 1
     hb = H // nb
     has_bias = bias is not None
     staging = bool(os.environ.get("MVSNET_TPU_CONV2D_STAGING"))
+    pack = 1
+    if not staging and nb == 1:
+        pack = _pack2d(H, W, C, cout, item)
     b2d = None
     if has_bias:
-        b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (cout, W))
+        bw = pack * W if pack > 1 else W
+        b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (cout, bw))
+
+    if pack > 1:
+        HP, WP = H // pack, pack * W
+        xp = jnp.transpose(xt.reshape(B, HP, pack, C, W),
+                           (0, 1, 3, 2, 4)).reshape(B, HP, C, WP)
+        kern = _make_kernel2d_packed(H, W, C, cout, pack, has_bias, relu)
+        in_specs = [
+            pl.BlockSpec((1, HP, C, WP), lambda g: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * cout, 3 * C), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [w2.astype(x.dtype)]
+        if has_bias:
+            in_specs.append(pl.BlockSpec((cout, WP), lambda g: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b2d)
+
+        def packed_call(xb):
+            return pl.pallas_call(
+                kern,
+                grid=(1,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, HP, cout, WP),
+                                       lambda g: (0, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, HP, cout, WP), x.dtype),
+                interpret=interpret,
+                compiler_params=_ARBITRARY1,
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * H * W * 9 * C * cout,
+                    bytes_accessed=H * W * (C + cout) * item,
+                    transcendentals=0,
+                ),
+            )(xb[None], *operands)
+
+        out = jnp.concatenate([packed_call(xp[b]) for b in range(B)],
+                              axis=0)                   # (B, HP, Cout, WP)
+        out = jnp.transpose(out.reshape(B, HP, cout, pack, W),
+                            (0, 1, 3, 2, 4)).reshape(B, H, cout, W)
+        return jnp.transpose(out, (0, 1, 3, 2))         # (B, H, W, Cout)
 
     def call(xb, hband):
         if staging and not has_bias and not relu:

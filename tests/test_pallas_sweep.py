@@ -370,6 +370,30 @@ class TestRowConv2D:
                 conv2d._rowconv2d_fwd_impl(x, k, interpret=True))
         np.testing.assert_allclose(got_staging, ref, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("pack,cin,cout,shape",
+                             [(4, 8, 8, (16, 24)), (2, 16, 16, (10, 16)),
+                              (4, 3, 8, (12, 40))])
+    def test_packed_matches_xla(self, pack, cin, cout, shape):
+        """Lane-packed s1 kernel (PACK rows on lanes, roll ring combine)."""
+        import unittest.mock as mock
+
+        from mvsnet_tpu.ops.pallas import conv2d
+
+        rng = np.random.default_rng(8)
+        H, W = shape
+        x = jnp.asarray(rng.standard_normal((1, H, W, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        ref = np.maximum(np.asarray(conv2d._xla_conv2d(x, k))
+                         + np.asarray(b), 0.0)
+        with mock.patch.dict("os.environ",
+                             {"MVSNET_TPU_CONV_PACK2D": str(pack)}):
+            assert conv2d._pack2d(H, W, cin, cout, 4) == pack
+            got = np.asarray(conv2d._rowconv2d_fwd_impl(
+                x, k, b, relu=True, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
     def test_banded_matches_whole(self):
         """H-banding (VMEM overflow fallback) is exact: force banding by
         shrinking the VMEM limit."""
