@@ -65,10 +65,16 @@ def main():
         ("0_2 full-res 8->8",    1, 8, 8, 3, 1),
         ("1_0 s2 3->16",         1, 3, 16, 3, 2),
         ("1_1 half 16->16",      2, 16, 16, 3, 1),
+        ("2_0 s2 16->32",        2, 16, 32, 3, 2),
         ("2_1 quarter 32->32",   4, 32, 32, 3, 1),
+        ("3_0 s2 32->64",        4, 32, 64, 3, 2),
         ("3_1 eighth 64->64",    8, 64, 64, 3, 1),
         ("4_1 sixteenth 128",   16, 128, 128, 3, 1),
-        ("9_0 s2 8->16 (5x5)",   4, 8, 16, 5, 2),
+        ("9_0 s2 8->16 (5x5)",   1, 8, 16, 5, 2),
+        ("10_0 s2 16->32 (5x5)", 2, 16, 32, 5, 2),
+        ("5_1 cat 128->64",      8, 128, 64, 3, 1),
+        ("7_1 cat 32->16",       2, 32, 16, 3, 1),
+        ("8_1 cat 16->8",        1, 16, 8, 3, 1),
     ]
     if args.only_full:
         layers = []
@@ -84,6 +90,21 @@ def main():
               f"{flops/dt/1e12:6.1f} TF/s)")
 
     if not args.only_full:
+        from mvsnet_tpu.models.layers import DeconvGN
+
+        # decoder deconvs (now the parity-split Pallas kernel)
+        for name, div, cin, cout in [("5_0 deconv 128->64", 16, 128, 64),
+                                     ("7_0 deconv 32->16", 4, 32, 16),
+                                     ("8_0 deconv 16->8", 2, 16, 8)]:
+            h, w = H // div, W // div
+            x = jnp.asarray(rng.standard_normal((B, h, w, cin)), jnp.bfloat16)
+            m = DeconvGN(cout, 3, 2, dtype="bfloat16")
+            variables = m.init(jax.random.PRNGKey(0), x)
+            dt = timed(lambda xx, m=m, variables=variables:
+                       m.apply(variables, xx).astype(jnp.float32), x)
+            results[name] = round(dt * 1e3, 3)
+            print(f"{name:26s} {dt*1e3:7.2f} ms")
+
         # conv WITHOUT GN at the worst shape, to split conv vs norm cost
         x = jnp.asarray(rng.standard_normal((B, H, W, 8)), jnp.bfloat16)
         m = Conv(8, 3, 1, relu=True, use_bias=False, dtype="bfloat16")

@@ -35,8 +35,10 @@ run 2400 regnetsum python tools/bench_conv.py --case regnetsum
 #    run it anyway; sequential stages, each its own jit)
 run 3600 bisect python tools/bench_conv.py --case bisect
 
-# 3. Feature-net breakdown + full tower (carry conv2d + Pallas deconv2d now)
-run 2400 featnet python tools/bench_featnet.py --full
+# 3. Feature-net breakdown + full tower (carry conv2d + s2/5x5 kernels +
+#    Pallas deconv2d now), then the same-window XLA contrast
+run 3000 featnet python tools/bench_featnet.py --full
+run 2400 featnet_xla env MVSNET_TPU_NO_PALLAS_CONV=1 python tools/bench_featnet.py --only-full
 
 # 4. Headline benches, back-to-back in one window
 run 2400 bench_3dcnn python bench.py --metric 3dcnn
