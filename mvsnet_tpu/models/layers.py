@@ -166,15 +166,19 @@ class _PallasConv2D(nn.Module):
                  post_relu: bool = False):
         from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
             rowconv2d,
+            rowconv2d_bias,
             rowconv2d_fused,
             rowconv2d_s2,
+            rowconv2d_s2_bias,
             rowconv2d_s2_fused,
         )
 
         if self.stride == 2:
-            conv_fn, fused_fn = rowconv2d_s2, rowconv2d_s2_fused
+            conv_fn, bias_fn, fused_fn = (rowconv2d_s2, rowconv2d_s2_bias,
+                                          rowconv2d_s2_fused)
         else:
-            conv_fn, fused_fn = rowconv2d, rowconv2d_fused
+            conv_fn, bias_fn, fused_fn = (rowconv2d, rowconv2d_bias,
+                                          rowconv2d_fused)
 
         cin = x.shape[-1]
         ks = self.kernel_size
@@ -191,10 +195,10 @@ class _PallasConv2D(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 k = kernel.astype(self.dtype)
-            y = conv_fn(x, k)
             if bias is not None:
-                y = y + bias.astype(y.dtype)
-            return y
+                # differentiable fused-bias epilogue (zero extra passes)
+                return bias_fn(x, k, bias)
+            return conv_fn(x, k)
         # eval-only fused path (folded batch norm), mirrors _PallasConv3D
         k = kernel
         shift = bias

@@ -646,6 +646,55 @@ def _vjp2d_bwd(res, g):
 rowconv2d.defvjp(_vjp2d_fwd, _vjp2d_bwd)
 
 
+@jax.custom_vjp
+def rowconv2d_bias(x, kernel, bias):
+    """Differentiable s1 conv with the bias fused into the kernel's
+    output-row write (no separate bias-add materialization; the GRU cells
+    run 7 biased convs per depth plane). d(bias) is an exact reduction of
+    the cotangent."""
+    return _rowconv2d_fwd_impl(x, kernel, bias,
+                               interpret=_auto_interpret())
+
+
+def _vjp2db_fwd(x, kernel, bias):
+    return rowconv2d_bias(x, kernel, bias), (x, kernel)
+
+
+def _vjp2db_bwd(res, g):
+    x, kernel = res
+    gq = g.astype(x.dtype)
+    dx = _rowconv2d_fwd_impl(gq, _flip2d(kernel),
+                             interpret=_auto_interpret())
+    _, wgrad = jax.vjp(lambda k: _xla_conv2d(x, k), kernel)
+    (dk,) = wgrad(gq)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dk, db
+
+
+rowconv2d_bias.defvjp(_vjp2db_fwd, _vjp2db_bwd)
+
+
+@jax.custom_vjp
+def rowconv2d_s2_bias(x, kernel, bias):
+    """Differentiable s2 conv with the fused bias epilogue (see
+    rowconv2d_bias)."""
+    return _rowconv2d_s2_fwd_impl(x, kernel, bias,
+                                  interpret=_auto_interpret())
+
+
+def _s2b_vjp_fwd(x, kernel, bias):
+    return rowconv2d_s2_bias(x, kernel, bias), (x, kernel)
+
+
+def _s2b_vjp_bwd(res, g):
+    dx, dk = _s2_vjp_bwd(res, g)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dk, db
+
+
+rowconv2d_s2_bias.defvjp(_s2b_vjp_fwd, _s2b_vjp_bwd)
+
+
 def rowconv2d_fused(x, kernel, bias=None, relu: bool = False):
     """Eval-only fused conv + per-channel bias + ReLU in one Pallas pass.
 

@@ -370,6 +370,35 @@ class TestRowConv2D:
                 conv2d._rowconv2d_fwd_impl(x, k, interpret=True))
         np.testing.assert_allclose(got_staging, ref, atol=2e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_bias_fused_grads(self, stride):
+        """rowconv2d_bias / rowconv2d_s2_bias: fused-bias epilogue with
+        exact (dx, dk, dbias) — the GRU cells' biased convs ride it."""
+        from mvsnet_tpu.ops.pallas.conv2d import (
+            _xla_conv2d,
+            _xla_conv2d_s2,
+            rowconv2d_bias,
+            rowconv2d_s2_bias,
+        )
+
+        fn = rowconv2d_bias if stride == 1 else rowconv2d_s2_bias
+        ref_fn = _xla_conv2d if stride == 1 else _xla_conv2d_s2
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        ref = np.asarray(ref_fn(x, k)) + np.asarray(b)
+        got = np.asarray(fn(x, k, b))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+        g1 = jax.grad(lambda a, c, d: jnp.sum((ref_fn(a, c) + d) ** 2),
+                      (0, 1, 2))(x, k, b)
+        g2 = jax.grad(lambda a, c, d: jnp.sum(fn(a, c, d) ** 2),
+                      (0, 1, 2))(x, k, b)
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(g2[i]), np.asarray(g1[i]),
+                                       atol=2e-4, rtol=1e-5)
+
     @pytest.mark.parametrize("pack,cin,cout,shape",
                              [(4, 8, 8, (16, 24)), (2, 16, 16, (10, 16)),
                               (4, 3, 8, (12, 40))])
