@@ -27,6 +27,10 @@ run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exi
 #    checked on chip + timed at the 3DCNN point (realistic rig)
 run 2400 sweep_3dcnn python tools/bench_sweep.py --skip-warp
 run 2400 sweep_gru python tools/bench_sweep.py --point gru --skip-warp --skip-check
+# knob A/Bs (same window as the baseline above): with two straight-line
+# blocks, smaller BAND = 25% less MXU work if spans fit 2*BAND-1
+run 2400 sweep_band6 env MVSNET_TPU_SWEEP_BAND=6 python tools/bench_sweep.py --skip-warp --skip-check
+run 2400 sweep_parsem env MVSNET_TPU_SWEEP_PARSEM=1 python tools/bench_sweep.py --skip-warp --skip-check
 
 # 1. RegNet layer-sum vs full module: does BN-fold close the in-graph glue?
 run 2400 regnetsum python tools/bench_conv.py --case regnetsum
