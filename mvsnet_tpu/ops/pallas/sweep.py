@@ -36,7 +36,7 @@ matmuls at that operating point — not a cold path.
 
 Two fused cost kernels implement this decomposition:
 
-  * the slab-table kernel (_make_cost_kernel_preload, Vm1 <= 2): source
+  * the slab-table kernel (_make_cost_kernel_preload): source
     views are pre-concatenated XLA-side into (H, W, BAND*C) tables,
     preloaded once into persistent VMEM scratch by a single DMA; the
     matmul outputs (BAND*C, x) so the vertical combine is sublane-aligned;
@@ -519,7 +519,7 @@ def _preload_cchunk(height, width, channels, view_count_minus_1,
 def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
                                 interpret: bool = False, row_offset=None,
                                 out_rows: int = 0):
-    """Slab-table fused cost volume (the Vm1<=2 fast path).
+    """Slab-table fused cost volume (the fast path; C-chunks to fit).
 
     row_offset/out_rows: compute only output rows
     [row_offset, row_offset + out_rows) — ref_feature then holds just those
@@ -641,8 +641,8 @@ def _blockres_cost_supported(height: int, width: int, channels: int,
 def pallas_cost_supported(height: int, width: int, channels: int,
                           view_count_minus_1: int, dtype=jnp.bfloat16) -> bool:
     """Whether SOME fused cost kernel (slab-table or block-resident) fits."""
-    if view_count_minus_1 <= 2 and _preload_cchunk(
-            height, width, channels, view_count_minus_1, dtype):
+    if _preload_cchunk(height, width, channels, view_count_minus_1,
+                        dtype):
         return True
     return _blockres_cost_supported(height, width, channels,
                                     view_count_minus_1, dtype)
@@ -830,8 +830,8 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
                              interpret: bool = False):
     """Fused variance cost volume for one batch element.
 
-    Dispatches to the slab-table preload kernel (Vm1<=2, the common and
-    headline operating points) or the block-resident kernel (higher V).
+    Dispatches to the slab-table preload kernel (C-chunked to fit VMEM
+    at any view count) or the block-resident kernel (huge H*W).
 
     Args:
       ref_feature: (H, W, C); view_features: (V-1, H, W, C);
@@ -840,7 +840,10 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     """
     H, W, C = ref_feature.shape
     Vm1 = homographies.shape[0]
-    if Vm1 <= 2 and _preload_cchunk(H, W, C, Vm1, view_features.dtype):
+    # The slab tables C-chunk to fit VMEM at any view count (the Vm1<=2
+    # cap was round-2a conservatism; the C-chunked preload beat blockres
+    # 2.6x on-chip at Vm1=2 and the per-chunk coord recompute is cheap).
+    if _preload_cchunk(H, W, C, Vm1, view_features.dtype):
         return _pallas_cost_volume_preload(ref_feature, view_features,
                                            homographies, interpret=interpret)
     return _pallas_cost_volume_blockres(ref_feature, view_features,
@@ -906,8 +909,8 @@ def pallas_cost_sharded_supported(B: int, height: int, width: int,
             and max_d % dp == 0
             and height % (sp * ROWS_PER_CELL) == 0):
         return False
-    if view_count_minus_1 <= 2 and _preload_cchunk(
-            height, width, channels, view_count_minus_1, dtype):
+    if _preload_cchunk(height, width, channels, view_count_minus_1,
+                        dtype):
         return True
     return _blockres_cost_supported(height, width, channels,
                                     view_count_minus_1, dtype)
@@ -916,7 +919,7 @@ def pallas_cost_sharded_supported(B: int, height: int, width: int,
 def _pallas_cost_volume_preload_sharded(ref_feature, view_features,
                                         homographies, mesh,
                                         interpret: bool = False):
-    """shard_map'ed slab-table cost volume (the Vm1<=2 fast path, ~2.6x
+    """shard_map'ed slab-table cost volume (the fast path, ~2.6x
     the block-resident kernel on-chip).
 
     Row decomposition: each device computes the output rows of its 'space'
@@ -981,7 +984,7 @@ def pallas_sweep_cost_volume_sharded(ref_feature, view_features, homographies,
     sp = mesh.shape.get("space", 1)
     assert B % dd == 0 and D % dp == 0 and H % (sp * ROWS_PER_CELL) == 0
 
-    if Vm1 <= 2 and _preload_cchunk(H, W, C, Vm1, view_features.dtype):
+    if _preload_cchunk(H, W, C, Vm1, view_features.dtype):
         return _pallas_cost_volume_preload_sharded(
             ref_feature, view_features, homographies, mesh,
             interpret=interpret)
