@@ -81,7 +81,7 @@ def timed_loop(fn, iters):
     return ((t2 - t1) - (t1 - t0)) / iters
 
 
-def bench_3dcnn():
+def bench_3dcnn(use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
     from mvsnet_tpu.config import ModelConfig
@@ -90,7 +90,8 @@ def bench_3dcnn():
     height, width, max_d, view_num = 864, 1152, 192, 3
     cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width, height=height,
                       interval_scale=1.06, network_mode="normal",
-                      compute_dtype="bfloat16", depth_chunk=32)
+                      compute_dtype="bfloat16", depth_chunk=32,
+                      use_pallas=use_pallas)
     model = MVSNet(cfg)
     rng = np.random.default_rng(0)
     images = rng.standard_normal((1, view_num, height, width, 3)).astype(np.float32)
@@ -117,7 +118,7 @@ def bench_3dcnn():
             "vs_baseline": round((1.0 / dt) / BASELINE_3DCNN_MAPS_PER_SEC, 3)}
 
 
-def bench_gru():
+def bench_gru(use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
     from mvsnet_tpu.config import ModelConfig
@@ -127,7 +128,8 @@ def bench_gru():
     height, width, max_d, view_num = 1184, 1600, 256, 3
     cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width, height=height,
                       interval_scale=0.8, network_mode="normal",
-                      regularization="GRU", compute_dtype="bfloat16")
+                      regularization="GRU", compute_dtype="bfloat16",
+                      use_pallas=use_pallas)
     model = MVSNet(cfg)
     rng = np.random.default_rng(0)
     images = rng.standard_normal((1, view_num, height, width, 3)).astype(np.float32)
@@ -153,7 +155,7 @@ def bench_gru():
             "vs_baseline": round((1.0 / dt) / BASELINE_GRU_MAPS_PER_SEC, 3)}
 
 
-def bench_train():
+def bench_train(use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
     from mvsnet_tpu import train_lib
@@ -163,7 +165,7 @@ def bench_train():
     height, width, max_d, view_num = 480, 640, 192, 3
     cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width, height=height,
                       network_mode="lite", compute_dtype="bfloat16",
-                      depth_chunk=16)
+                      depth_chunk=16, use_pallas=use_pallas)
     tcfg = TrainConfig(loss_type="power", grad_loss=True)
     model = MVSNet(cfg)
     rng = np.random.default_rng(0)
@@ -220,7 +222,26 @@ def main() -> int:
         print("bench.py: TPU tunnel unresponsive (probe timed out) — "
               "no measurement possible", file=sys.stderr, flush=True)
         os._exit(2)
-    result = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]()
+    fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]
+    try:
+        result = fn()
+    except Exception as e:  # noqa: BLE001
+        # A Mosaic lowering/compile failure in one of the Pallas conv
+        # kernels must not lose the round's headline number: disable the
+        # conv kernels (trace-time env) and measure the XLA-conv path.
+        print(f"bench.py: Pallas path failed ({type(e).__name__}: {e}); "
+              "retrying with MVSNET_TPU_NO_PALLAS_CONV=1",
+              file=sys.stderr, flush=True)
+        os.environ["MVSNET_TPU_NO_PALLAS_CONV"] = "1"
+        try:
+            result = fn()
+            result["note"] = "pallas-conv fallback"
+        except Exception as e2:  # noqa: BLE001
+            print(f"bench.py: still failing ({type(e2).__name__}); "
+                  "retrying with use_pallas=False (XLA sweep too)",
+                  file=sys.stderr, flush=True)
+            result = fn(use_pallas=False)
+            result["note"] = "full XLA fallback"
     print(json.dumps(result))
     return 0
 
