@@ -74,6 +74,9 @@ ROWS_PER_CELL = 8
 # MXU slots, because per-block overheads (slab read, tent build, loop
 # step) dominate; BAND=16 would blow the preload VMEM scratch.
 BAND = int(_os.environ.get("MVSNET_TPU_SWEEP_BAND", "8"))
+# A/B knob: restore the fully dynamic vertical-band loop (pre straight-line
+# second block) to isolate the pipeline-stall fix on chip.
+_STATIC2 = not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")
 
 # v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
 # limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep
@@ -150,8 +153,10 @@ def _warp_row(src_band_fn, xrow, ycol, iota_j, iota_b, H, W, C, src_dtype):
     # and removing the data-dependent loop from the hot path lets Mosaic
     # pipeline the two matmuls (same rationale as the preload kernel).
     out = block(rbase, None)
-    lo1 = rbase + BAND
-    out = out + block(jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
+    if _STATIC2:
+        lo1 = rbase + BAND
+        out = out + block(jnp.minimum(lo1, H - BAND),
+                          (lo1, lo1 + (BAND - 1)))
 
     def extra(k, acc):
         lo = rbase + k * BAND
@@ -161,7 +166,7 @@ def _warp_row(src_band_fn, xrow, ycol, iota_j, iota_b, H, W, C, src_dtype):
     # Engages only when the in-row vertical shear exceeds 2*BAND-2 rows
     # (never, for plane-sweep homographies of real rigs); zero-trip
     # otherwise.
-    return jax.lax.fori_loop(2, nextra + 1, extra, out)
+    return jax.lax.fori_loop(2 if _STATIC2 else 1, nextra + 1, extra, out)
 
 
 def _make_band_cat(src_slice_fn, W, C):
@@ -405,16 +410,19 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
                     # diagnosed MXU pipeline stall — leaving a zero-trip
                     # residual loop only for spans > 2*BAND-1 (rare).
                     warped_t = block(rbase, None)
-                    lo1 = rbase + BAND
-                    warped_t = warped_t + block(
-                        jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
+                    if _STATIC2:
+                        lo1 = rbase + BAND
+                        warped_t = warped_t + block(
+                            jnp.minimum(lo1, H - BAND),
+                            (lo1, lo1 + (BAND - 1)))
 
                     def extra(k, a, rbase=rbase, block=block):
                         lo = rbase + k * BAND
                         start = jnp.minimum(lo, H - BAND)
                         return a + block(start, (lo, lo + (BAND - 1)))
 
-                    tiles.append(jax.lax.fori_loop(2, nex + 1, extra,
+                    tiles.append(jax.lax.fori_loop(2 if _STATIC2 else 1,
+                                                   nex + 1, extra,
                                                    warped_t))
 
                 warped = tiles[0] if NT == 1 else jnp.concatenate(tiles,
@@ -760,8 +768,9 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
 
         # straight-line second block, residual loop from k=2 (see _warp_row)
         block(rbase, None)
-        lo1 = rbase + BAND
-        block(jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
+        if _STATIC2:
+            lo1 = rbase + BAND
+            block(jnp.minimum(lo1, H - BAND), (lo1, lo1 + (BAND - 1)))
 
         def extra(k, _):
             lo = rbase + k * BAND
@@ -769,7 +778,7 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
             block(start, (lo, lo + (BAND - 1)))
             return 0
 
-        jax.lax.fori_loop(2, nextra + 1, extra, 0)
+        jax.lax.fori_loop(2 if _STATIC2 else 1, nextra + 1, extra, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "C", "interpret"))
