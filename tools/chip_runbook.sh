@@ -42,6 +42,7 @@ run 3600 bench_train python bench.py --metric train
 #    = 25% less MXU work if spans fit 2*BAND-1
 run 2400 sweep_band6 env MVSNET_TPU_SWEEP_BAND=6 python tools/bench_sweep.py --skip-warp --skip-check
 run 2400 sweep_parsem env MVSNET_TPU_SWEEP_PARSEM=1 python tools/bench_sweep.py --skip-warp --skip-check
+run 2400 sweep_dynband env MVSNET_TPU_SWEEP_DYNBAND=1 python tools/bench_sweep.py --skip-warp --skip-check
 run 2400 sweep_gru python tools/bench_sweep.py --point gru --skip-warp --skip-check
 
 # 3. RegNet layer-sum vs full module: does BN-fold close the in-graph glue?
