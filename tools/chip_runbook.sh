@@ -31,10 +31,10 @@ run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exi
 # 0. New-kernel validation: sweep numerics on chip + featnet (exercises
 #    carry/s2/5x5/packed 2D convs and the Pallas deconvs end-to-end)
 run 2400 sweep_3dcnn python tools/bench_sweep.py --skip-warp
-run 3000 featnet python tools/bench_featnet.py --full
+run 3600 featnet python tools/bench_featnet.py --full
 
 # 1. Headline benches, back-to-back in one window
-run 2400 bench_3dcnn python bench.py --metric 3dcnn
+run 3600 bench_3dcnn python bench.py --metric 3dcnn
 run 3600 bench_gru python bench.py --metric gru
 run 3600 bench_train python bench.py --metric train
 
