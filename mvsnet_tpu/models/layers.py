@@ -41,6 +41,19 @@ def _pair(k, n):
     return (k,) * n
 
 
+def _pallas_worth(x, filters) -> bool:
+    """Work-size gate for the Pallas conv dispatches: tiny layers (smoke
+    shapes, the driver's 64x64 entry() compile check) stay on XLA — each
+    Pallas kernel costs ~90 s of remote compile through the tunnel and
+    wins nothing at toy sizes. Every real operating-point layer clears
+    this by >10x (smallest: RegNet eighth-res 24x27x36x32 = 746k; the
+    64x64 smoke shapes top out at ~33k)."""
+    spatial = 1
+    for d in x.shape[1:-1]:
+        spatial *= d
+    return spatial * filters >= 65536
+
+
 def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
     """Route 3x3x3 s1 3D convs through ops/pallas/conv3d.rowconv3d on TPU.
 
@@ -63,6 +76,8 @@ def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
 
     mesh = mesh_lib.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
+        return False
+    if not _pallas_worth(x, filters):
         return False
     B, D, H, W, C = x.shape
     s = _pair(stride, ndim)[0]
@@ -92,6 +107,8 @@ def _pallas_deconv3d_available(x, filters, kernel, stride) -> bool:
     mesh = mesh_lib.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
         return False
+    if not _pallas_worth(x, filters):
+        return False
     B, D, H, W, C = x.shape
     return rowdeconv3d_supported(D, H, W, C, filters, x.dtype)
 
@@ -115,6 +132,8 @@ def _pallas_deconv2d_available(x, filters, kernel, stride) -> bool:
 
     mesh = mesh_lib.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
+        return False
+    if not _pallas_worth(x, filters):
         return False
     B, H, W, C = x.shape
     return rowdeconv2d_supported(H, W, C, filters, x.dtype)
@@ -144,6 +163,8 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
 
     mesh = mesh_lib.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
+        return False
+    if not _pallas_worth(x, filters):
         return False
     B, H, W, C = x.shape
     if s[0] == 2:
