@@ -543,16 +543,6 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
     assert ref_feature.shape == (out_rows, W, C)
 
     cchunk = _preload_cchunk(H, W, C, Vm1, view_features.dtype) or C
-    if cchunk < C:
-        parts = [
-            _pallas_cost_volume_preload(
-                ref_feature[..., c0:c0 + cchunk],
-                view_features[..., c0:c0 + cchunk],
-                homographies, interpret=interpret, row_offset=row_offset,
-                out_rows=out_rows)
-            for c0 in range(0, C, cchunk)
-        ]
-        return jnp.concatenate(parts, axis=-1)
 
     def coords(h):                                   # (D, 3, 3)
         x, y = projected_coords(h, H, W)
@@ -563,6 +553,8 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
             y = jax.lax.dynamic_slice_in_dim(y, row_offset, out_rows, axis=1)
         return x, y
 
+    # coords + band/window tables are channel-independent: computed ONCE
+    # and shared by every C-chunk call (the GRU point runs 2 chunks).
     x, y = jax.vmap(coords)(homographies)            # (Vm1, D, rows, W) f32
     NT, TW, KBLK = _tile_params(W)
     rows_blocks = out_rows // ROWS_PER_CELL
@@ -574,6 +566,26 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
         a = a.reshape(Vm1, D, rows_blocks, ROWS_PER_CELL, NT)
         return jnp.transpose(a, (0, 1, 2, 4, 3))
 
+    tables = (tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra))
+
+    if cchunk < C:
+        parts = [
+            _preload_call(ref_feature[..., c0:c0 + cchunk],
+                          view_features[..., c0:c0 + cchunk],
+                          x, y, tables, H, W, out_rows, NT, KBLK, Vm1,
+                          interpret)
+            for c0 in range(0, C, cchunk)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+    return _preload_call(ref_feature, view_features, x, y, tables,
+                         H, W, out_rows, NT, KBLK, Vm1, interpret)
+
+
+def _preload_call(ref_feature, view_features, x, y, tables, H, W,
+                  out_rows, NT, KBLK, Vm1, interpret):
+    D = x.shape[1]
+    C = ref_feature.shape[-1]
+    rows_blocks = out_rows // ROWS_PER_CELL
     cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
     reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
 
@@ -612,7 +624,7 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
                             * view_features.dtype.itemsize),
             transcendentals=0,
         ),
-    )(x, y, tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra), reft, cats)
+    )(x, y, *tables, reft, cats)
     return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, rows, W, C)
 
 
