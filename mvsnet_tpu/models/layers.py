@@ -41,6 +41,35 @@ def _pair(k, n):
     return (k,) * n
 
 
+def _fold_affine(kernel, bias, post_scale, post_shift):
+    """Fold a per-channel eval affine (a batch norm's scale/shift) into the
+    conv kernel + a combined shift, for the fused Pallas epilogues."""
+    k = kernel
+    shift = bias
+    if post_scale is not None:
+        k = kernel * post_scale
+        if shift is not None:
+            shift = shift * post_scale
+    if post_shift is not None:
+        shift = post_shift if shift is None else shift + post_shift
+    return k, shift
+
+
+def _post_affine(y, post_scale, post_shift, post_relu):
+    """Unfused epilogue for the non-Pallas branches: per-channel affine +
+    ReLU in f32 (XLA fuses it), matching BatchNormRef numerics."""
+    if post_scale is None and post_shift is None and not post_relu:
+        return y
+    y32 = y.astype(jnp.float32)
+    if post_scale is not None:
+        y32 = y32 * post_scale
+    if post_shift is not None:
+        y32 = y32 + post_shift
+    if post_relu:
+        y32 = jnp.maximum(y32, 0.0)
+    return y32.astype(y.dtype)
+
+
 def _pallas_worth(x, filters) -> bool:
     """Work-size gate for the Pallas conv dispatches: tiny layers (smoke
     shapes, the driver's 64x64 entry() compile check) stay on XLA — each
@@ -221,14 +250,7 @@ class _PallasConv2D(nn.Module):
                 return bias_fn(x, k, bias)
             return conv_fn(x, k)
         # eval-only fused path (folded batch norm), mirrors _PallasConv3D
-        k = kernel
-        shift = bias
-        if post_scale is not None:
-            k = kernel * post_scale
-            if shift is not None:
-                shift = shift * post_scale
-        if post_shift is not None:
-            shift = post_shift if shift is None else shift + post_shift
+        k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return fused_fn(x, k.astype(x.dtype), bias=shift,
@@ -343,14 +365,7 @@ class _PallasConv3D(nn.Module):
         # eval-only fused path: fold the per-channel scale into the f32
         # kernel, combine shifts, and ride bias+ReLU on the Pallas
         # epilogue (zero extra HBM passes). Not differentiable.
-        k = kernel
-        shift = bias
-        if post_scale is not None:
-            k = kernel * post_scale               # broadcast over Cout
-            if shift is not None:
-                shift = shift * post_scale
-        if post_shift is not None:
-            shift = post_shift if shift is None else shift + post_shift
+        k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowconv3d_fused(x, k.astype(x.dtype), bias=shift,
@@ -463,14 +478,7 @@ class Conv(nn.Module):
             )(x)
         if not post_done and (post_scale is not None or post_shift is not None
                               or post_relu):
-            y32 = y.astype(jnp.float32)
-            if post_scale is not None:
-                y32 = y32 * post_scale
-            if post_shift is not None:
-                y32 = y32 + post_shift
-            if post_relu:
-                y32 = jnp.maximum(y32, 0.0)
-            y = y32.astype(y.dtype)
+            y = _post_affine(y, post_scale, post_shift, post_relu)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -508,14 +516,7 @@ class _PallasDeconv2D(nn.Module):
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
-        k = kernel
-        shift = bias
-        if post_scale is not None:
-            k = kernel * post_scale
-            if shift is not None:
-                shift = shift * post_scale
-        if post_shift is not None:
-            shift = post_shift if shift is None else shift + post_shift
+        k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowdeconv2d_fused(x, k.astype(x.dtype), bias=shift,
@@ -557,14 +558,7 @@ class _PallasDeconv3D(nn.Module):
                 y = y + bias.astype(y.dtype)
             return y
         # eval-only fused path (folded batch norm), mirrors _PallasConv3D
-        k = kernel
-        shift = bias
-        if post_scale is not None:
-            k = kernel * post_scale
-            if shift is not None:
-                shift = shift * post_scale
-        if post_shift is not None:
-            shift = post_shift if shift is None else shift + post_shift
+        k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowdeconv3d_fused(x, k.astype(x.dtype), bias=shift,
@@ -657,14 +651,7 @@ class Deconv(nn.Module):
             )(x)
         if not post_done and (post_scale is not None or post_shift is not None
                               or post_relu):
-            y32 = y.astype(jnp.float32)
-            if post_scale is not None:
-                y32 = y32 * post_scale
-            if post_shift is not None:
-                y32 = y32 + post_shift
-            if post_relu:
-                y32 = jnp.maximum(y32, 0.0)
-            y = y32.astype(y.dtype)
+            y = _post_affine(y, post_scale, post_shift, post_relu)
         if self.relu:
             y = nn.relu(y)
         return y

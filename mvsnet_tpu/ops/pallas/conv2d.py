@@ -423,9 +423,11 @@ def _s2_vjp_bwd(res, g):
     # spatially-flipped, io-transposed kernel (deconv2d.py module doc)
     q = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(x.dtype)
     gH, gW = g.shape[1:3]
-    if (kernel.shape[0] == 3 and jax.default_backend() == "tpu"
+    if (kernel.shape[0] == 3
             and rowdeconv2d_supported(gH, gW, q.shape[2], q.shape[3],
                                       g.dtype)):
+        # interpret-mode on CPU (like the 3D VJPs) so tests exercise the
+        # same gradient path the chip runs
         dx = rowdeconv2d(g, q)[:, :x.shape[1], :x.shape[2]]
     else:
         # exact by construction (k=5 SAME pads are asymmetric; deriving
@@ -548,7 +550,8 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
         return jnp.transpose(out, (0, 1, 3, 2))         # (B, H, W, Cout)
 
     def call(xb, hband):
-        if staging and not has_bias and not relu:
+        use_staging = staging and not has_bias and not relu
+        if use_staging:
             kern = _make_kernel2d(hband, W, C, cout)
             scratch = [pltpu.VMEM((hband + 2, cout, W), jnp.float32)]
         else:
@@ -561,7 +564,9 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
                          memory_space=pltpu.VMEM),
         ]
         operands = [w2.astype(x.dtype)]
-        if has_bias and not staging:
+        if has_bias:
+            # the carry kernel always takes the bias operand (the staging
+            # kernel is only selected when there is no bias/ReLU)
             in_specs.append(pl.BlockSpec((cout, W), lambda g: (0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(b2d)

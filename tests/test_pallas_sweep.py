@@ -370,6 +370,16 @@ class TestRowConv2D:
                 conv2d._rowconv2d_fwd_impl(x, k, interpret=True))
         np.testing.assert_allclose(got_staging, ref, atol=2e-5, rtol=1e-5)
 
+        # staging env + bias routes the carry kernel and must still feed
+        # it the bias operand (review regression: unpack crash)
+        b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        refb = ref + np.asarray(b)
+        with mock.patch.dict("os.environ",
+                             {"MVSNET_TPU_CONV2D_STAGING": "1"}):
+            got_b = np.asarray(
+                conv2d._rowconv2d_fwd_impl(x, k, b, interpret=True))
+        np.testing.assert_allclose(got_b, refb, atol=2e-5, rtol=1e-5)
+
     @pytest.mark.parametrize("stride", [1, 2])
     def test_bias_fused_grads(self, stride):
         """rowconv2d_bias / rowconv2d_s2_bias: fused-bias epilogue with
