@@ -41,6 +41,38 @@ def _pair(k, n):
     return (k,) * n
 
 
+def _swap_cw(x):
+    """N…WC <-> channel-second-minor N…CW: swap the two minor axes (an
+    involution, any rank)."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _force_pallas() -> bool:
+    """Test knob: route the Pallas conv dispatches regardless of backend /
+    mesh / work-size (kernels auto-run in interpret mode off-TPU), so CPU
+    tests can exercise the exact dispatch path the chip runs."""
+    import os  # noqa: PLC0415
+    return bool(os.environ.get("MVSNET_TPU_FORCE_PALLAS_CONV"))
+
+
+def cw_pipeline_enabled() -> bool:
+    """Whether eval graphs should chain Pallas 3D convs in their native
+    channel-second-minor (B, D, H, C, W) layout (models/regnet.py), paying
+    zero NDHWC relayouts between layers. MVSNET_TPU_CW=0 disables; =1
+    forces (CPU interpret tests); default: single-device TPU."""
+    import os  # noqa: PLC0415
+    env = os.environ.get("MVSNET_TPU_CW")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
+    mesh = mesh_lib.active_mesh()
+    return mesh is None or mesh.devices.size == 1
+
+
 def _fold_affine(kernel, bias, post_scale, post_shift):
     """Fold a per-channel eval affine (a batch norm's scale/shift) into the
     conv kernel + a combined shift, for the fused Pallas epilogues."""
@@ -70,111 +102,126 @@ def _post_affine(y, post_scale, post_shift, post_relu):
     return y32.astype(y.dtype)
 
 
-def _pallas_worth(x, filters) -> bool:
-    """Work-size gate for the Pallas conv dispatches: tiny layers (smoke
-    shapes, the driver's 64x64 entry() compile check) stay on XLA — each
-    Pallas kernel costs ~90 s of remote compile through the tunnel and
-    wins nothing at toy sizes. Every real operating-point layer clears
-    this by >10x (smallest: RegNet eighth-res 24x27x36x32 = 746k; the
-    64x64 smoke shapes top out at ~33k)."""
-    spatial = 1
-    for d in x.shape[1:-1]:
-        spatial *= d
-    return spatial * filters >= 65536
+# Work-size gate (spatial * filters) for the Pallas conv dispatches: tiny
+# layers (smoke shapes, the driver's 64x64 entry() compile check) stay on
+# XLA — each Pallas kernel costs ~90 s of remote compile through the tunnel
+# and wins nothing at toy sizes. Every real operating-point layer clears
+# this by >10x (smallest: RegNet eighth-res 24x27x36x32 = 746k; the 64x64
+# smoke shapes top out at ~33k).
+_WORTH_MIN = 65536
 
 
-def _pallas_conv3d_available(x, filters, kernel, stride, dilation) -> bool:
+def _pallas_conv3d_available(x, filters, kernel, stride, dilation,
+                             cw: bool = False) -> bool:
     """Route 3x3x3 s1 3D convs through ops/pallas/conv3d.rowconv3d on TPU.
 
     Skipped under a >1-device mesh (a naked pallas_call there would force
     full replication through GSPMD — same rule as the cost-volume kernel).
-    Set MVSNET_TPU_NO_PALLAS_CONV=1 to force the XLA lowering."""
+    Set MVSNET_TPU_NO_PALLAS_CONV=1 to force the XLA lowering.
+    `cw`: x is channel-second-minor (B, D, H, C, W)."""
     import os  # noqa: PLC0415
 
     if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
         return False
+    force = _force_pallas()
     ndim = x.ndim - 2
     if not (ndim == 3
             and tuple(_pair(kernel, ndim)) == (3, 3, 3)
             and tuple(_pair(stride, ndim)) in ((1, 1, 1), (2, 2, 2))
             and tuple(_pair(dilation, ndim)) == (1, 1, 1)
-            and jax.default_backend() == "tpu"):
+            and (force or jax.default_backend() == "tpu")):
         return False
     from mvsnet_tpu.ops.pallas.conv3d import rowconv3d_supported  # noqa: PLC0415
     from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
 
     mesh = mesh_lib.active_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    if not force and mesh is not None and mesh.devices.size > 1:
         return False
-    if not _pallas_worth(x, filters):
+    if cw:
+        B, D, H, C, W = x.shape
+    else:
+        B, D, H, W, C = x.shape
+    if not force and D * H * W * filters < _WORTH_MIN:
         return False
-    B, D, H, W, C = x.shape
     s = _pair(stride, ndim)[0]
     if s == 2 and not (D % 2 == 0 and H % 2 == 0 and W % 2 == 0):
         return False
     return rowconv3d_supported(D, H, W, C, filters, x.dtype)
 
 
-def _pallas_deconv3d_available(x, filters, kernel, stride) -> bool:
+def _pallas_deconv3d_available(x, filters, kernel, stride,
+                               cw: bool = False) -> bool:
     """Route 3x3x3 s2 3D transposed convs through
     ops/pallas/deconv3d.rowdeconv3d on TPU (same gating rules as the
-    forward-conv dispatch)."""
+    forward-conv dispatch). `cw`: x is channel-second-minor."""
     import os  # noqa: PLC0415
 
     if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
         return False
+    force = _force_pallas()
     ndim = x.ndim - 2
     if not (ndim == 3
             and tuple(_pair(kernel, ndim)) == (3, 3, 3)
             and tuple(_pair(stride, ndim)) == (2, 2, 2)
-            and jax.default_backend() == "tpu"):
+            and (force or jax.default_backend() == "tpu")):
         return False
     from mvsnet_tpu.ops.pallas.deconv3d import (  # noqa: PLC0415
         rowdeconv3d_supported)
     from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
 
     mesh = mesh_lib.active_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    if not force and mesh is not None and mesh.devices.size > 1:
         return False
-    if not _pallas_worth(x, filters):
+    if cw:
+        B, D, H, C, W = x.shape
+    else:
+        B, D, H, W, C = x.shape
+    if not force and D * H * W * filters < _WORTH_MIN:
         return False
-    B, D, H, W, C = x.shape
     return rowdeconv3d_supported(D, H, W, C, filters, x.dtype)
 
 
-def _pallas_deconv2d_available(x, filters, kernel, stride) -> bool:
+def _pallas_deconv2d_available(x, filters, kernel, stride,
+                               cw: bool = False) -> bool:
     """Route 3x3 s2 2D transposed convs through
-    ops/pallas/deconv2d.rowdeconv2d on TPU (same gating rules)."""
+    ops/pallas/deconv2d.rowdeconv2d on TPU (same gating rules).
+    `cw`: x is (B, H, C, W)."""
     import os  # noqa: PLC0415
 
     if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
         return False
+    force = _force_pallas()
     ndim = x.ndim - 2
     if not (ndim == 2
             and tuple(_pair(kernel, ndim)) == (3, 3)
             and tuple(_pair(stride, ndim)) == (2, 2)
-            and jax.default_backend() == "tpu"):
+            and (force or jax.default_backend() == "tpu")):
         return False
     from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
         rowdeconv2d_supported)
     from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
 
     mesh = mesh_lib.active_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    if not force and mesh is not None and mesh.devices.size > 1:
         return False
-    if not _pallas_worth(x, filters):
+    if cw:
+        B, H, C, W = x.shape
+    else:
+        B, H, W, C = x.shape
+    if not force and H * W * filters < _WORTH_MIN:
         return False
-    B, H, W, C = x.shape
     return rowdeconv2d_supported(H, W, C, filters, x.dtype)
 
 
-def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
+def _pallas_conv2d_available(x, filters, kernel, stride, dilation,
+                             cw: bool = False) -> bool:
     """Route 3x3 s1/s2 2D convs through ops/pallas/conv2d on TPU
-    (same gating rules as the 3D dispatch)."""
+    (same gating rules as the 3D dispatch). `cw`: x is (B, H, C, W)."""
     import os  # noqa: PLC0415
 
     if os.environ.get("MVSNET_TPU_NO_PALLAS_CONV"):
         return False
+    force = _force_pallas()
     ndim = x.ndim - 2
     k = tuple(_pair(kernel, ndim))
     s = tuple(_pair(stride, ndim))
@@ -182,7 +229,7 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
                                                      and s == (2, 2))
     if not (ndim == 2 and ok
             and tuple(_pair(dilation, ndim)) == (1, 1)
-            and jax.default_backend() == "tpu"):
+            and (force or jax.default_backend() == "tpu")):
         return False
     from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
         rowconv2d_s2_supported,
@@ -191,11 +238,14 @@ def _pallas_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
     from mvsnet_tpu.parallel import mesh as mesh_lib  # noqa: PLC0415
 
     mesh = mesh_lib.active_mesh()
-    if mesh is not None and mesh.devices.size > 1:
+    if not force and mesh is not None and mesh.devices.size > 1:
         return False
-    if not _pallas_worth(x, filters):
+    if cw:
+        B, H, C, W = x.shape
+    else:
+        B, H, W, C = x.shape
+    if not force and H * W * filters < _WORTH_MIN:
         return False
-    B, H, W, C = x.shape
     if s[0] == 2:
         return rowconv2d_s2_supported(H, W, C, filters, x.dtype, K=k[0])
     return rowconv2d_supported(H, W, C, filters, x.dtype)
@@ -213,7 +263,8 @@ class _PallasConv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         from mvsnet_tpu.ops.pallas.conv2d import (  # noqa: PLC0415
             rowconv2d,
             rowconv2d_bias,
@@ -230,7 +281,7 @@ class _PallasConv2D(nn.Module):
             conv_fn, bias_fn, fused_fn = (rowconv2d, rowconv2d_bias,
                                           rowconv2d_fused)
 
-        cin = x.shape[-1]
+        cin = x.shape[-2] if cw_in else x.shape[-1]
         ks = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (ks, ks, cin, self.features), jnp.float32)
@@ -240,7 +291,7 @@ class _PallasConv2D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold:
+        if not fold and not (cw_in or cw_out):
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
@@ -249,12 +300,13 @@ class _PallasConv2D(nn.Module):
                 # differentiable fused-bias epilogue (zero extra passes)
                 return bias_fn(x, k, bias)
             return conv_fn(x, k)
-        # eval-only fused path (folded batch norm), mirrors _PallasConv3D
+        # eval-only fused path (folded batch norm / the CW layout chain),
+        # mirrors _PallasConv3D
         k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return fused_fn(x, k.astype(x.dtype), bias=shift,
-                        relu=post_relu)
+                        relu=post_relu, cw_in=cw_in, cw_out=cw_out)
 
 
 def _im2col_conv2d_available(x, filters, kernel, stride, dilation) -> bool:
@@ -340,11 +392,12 @@ class _PallasConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
             rowconv3d, rowconv3d_fused)
 
-        cin = x.shape[-1]
+        cin = x.shape[-2] if cw_in else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features), jnp.float32)
         bias = None
@@ -353,7 +406,7 @@ class _PallasConv3D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold:
+        if not fold and not (cw_in or cw_out):
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
@@ -364,12 +417,15 @@ class _PallasConv3D(nn.Module):
             return y
         # eval-only fused path: fold the per-channel scale into the f32
         # kernel, combine shifts, and ride bias+ReLU on the Pallas
-        # epilogue (zero extra HBM passes). Not differentiable.
+        # epilogue (zero extra HBM passes). Not differentiable. The CW
+        # pipeline (layout-chained eval convs) also lands here even with
+        # no affine to fold.
         k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowconv3d_fused(x, k.astype(x.dtype), bias=shift,
-                               relu=post_relu, stride=self.stride)
+                               relu=post_relu, stride=self.stride,
+                               cw_in=cw_in, cw_out=cw_out)
 
 
 class _WideConv3D(nn.Module):
@@ -423,64 +479,83 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         # post_scale/post_shift/post_relu: eval-only per-channel affine +
         # ReLU applied AFTER the conv (a folded batch norm). The Pallas 3D
         # branch fuses them into the kernel epilogue; other branches apply
         # them as (XLA-fused) elementwise ops in f32, matching the unfused
         # BatchNormRef numerics.
+        # cw_in/cw_out: the input/output is channel-second-minor
+        # (B, D, H, C, W) — the Pallas 3D kernels' native layout. The
+        # contract is layout-only: branches that can't run CW natively
+        # transpose at their own edges, so numerics never depend on it.
         ndim = x.ndim - 2  # spatial dims
         use_wide = self.wide_lowering is True
         post_done = False
+        cw_native = False
         if (not use_wide
                 and _pallas_conv3d_available(x, self.filters, self.kernel,
-                                             self.stride, self.dilation)):
+                                             self.stride, self.dilation,
+                                             cw=cw_in)):
             # name='Conv_0' keeps the param path identical to the nn.Conv
             # branch (its auto-assigned name).
             y = _PallasConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
                               use_bias=self.use_bias, dtype=self.dtype,
                               name="Conv_0")(x, post_scale, post_shift,
-                                             post_relu)
+                                             post_relu, cw_in=cw_in,
+                                             cw_out=cw_out)
             post_done = True
+            cw_native = True
         elif (not use_wide
               and _pallas_conv2d_available(x, self.filters, self.kernel,
-                                           self.stride, self.dilation)):
+                                           self.stride, self.dilation,
+                                           cw=cw_in)):
             y = _PallasConv2D(self.filters,
                               stride=_pair(self.stride, ndim)[0],
                               kernel_size=_pair(self.kernel, ndim)[0],
                               use_bias=self.use_bias, dtype=self.dtype,
                               name="Conv_0")(x, post_scale, post_shift,
-                                             post_relu)
+                                             post_relu, cw_in=cw_in,
+                                             cw_out=cw_out)
             post_done = True
-        elif (not use_wide
-              and _im2col_conv2d_available(x, self.filters, self.kernel,
-                                           self.stride, self.dilation)):
-            y = _Im2ColConv2D(self.filters, kernel=self.kernel,
-                              stride=_pair(self.stride, ndim)[0],
-                              use_bias=self.use_bias, dtype=self.dtype,
-                              name="Conv_0")(x)
-        elif use_wide and wide_n_applicable(ndim, self.kernel, self.stride,
-                                            self.dilation, self.filters):
-            y = _WideConv3D(self.filters, stride=_pair(self.stride, ndim)[0],
-                            use_bias=self.use_bias, dtype=self.dtype,
-                            name="Conv_0")(x)
+            cw_native = True
         else:
-            y = nn.Conv(
-                features=self.filters,
-                kernel_size=_pair(self.kernel, ndim),
-                strides=_pair(self.stride, ndim),
-                kernel_dilation=_pair(self.dilation, ndim),
-                padding="SAME",
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="Conv_0",
-            )(x)
+            if cw_in:
+                x = _swap_cw(x)
+            if (not use_wide
+                  and _im2col_conv2d_available(x, self.filters, self.kernel,
+                                               self.stride, self.dilation)):
+                y = _Im2ColConv2D(self.filters, kernel=self.kernel,
+                                  stride=_pair(self.stride, ndim)[0],
+                                  use_bias=self.use_bias, dtype=self.dtype,
+                                  name="Conv_0")(x)
+            elif use_wide and wide_n_applicable(ndim, self.kernel,
+                                                self.stride, self.dilation,
+                                                self.filters):
+                y = _WideConv3D(self.filters,
+                                stride=_pair(self.stride, ndim)[0],
+                                use_bias=self.use_bias, dtype=self.dtype,
+                                name="Conv_0")(x)
+            else:
+                y = nn.Conv(
+                    features=self.filters,
+                    kernel_size=_pair(self.kernel, ndim),
+                    strides=_pair(self.stride, ndim),
+                    kernel_dilation=_pair(self.dilation, ndim),
+                    padding="SAME",
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="Conv_0",
+                )(x)
         if not post_done and (post_scale is not None or post_shift is not None
                               or post_relu):
             y = _post_affine(y, post_scale, post_shift, post_relu)
         if self.relu:
             y = nn.relu(y)
+        if cw_out and not cw_native:
+            y = _swap_cw(y)
         return y
 
 
@@ -494,11 +569,12 @@ class _PallasDeconv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         from mvsnet_tpu.ops.pallas.deconv2d import (  # noqa: PLC0415
             rowdeconv2d, rowdeconv2d_fused)
 
-        cin = x.shape[-1]
+        cin = x.shape[-2] if cw_in else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         bias = None
@@ -507,7 +583,7 @@ class _PallasDeconv2D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold:
+        if not fold and not (cw_in or cw_out):
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
@@ -520,7 +596,7 @@ class _PallasDeconv2D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowdeconv2d_fused(x, k.astype(x.dtype), bias=shift,
-                                 relu=post_relu)
+                                 relu=post_relu, cw_in=cw_in, cw_out=cw_out)
 
 
 class _PallasDeconv3D(nn.Module):
@@ -535,11 +611,12 @@ class _PallasDeconv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         from mvsnet_tpu.ops.pallas.deconv3d import (  # noqa: PLC0415
             rowdeconv3d, rowdeconv3d_fused)
 
-        cin = x.shape[-1]
+        cin = x.shape[-2] if cw_in else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 3, cin, self.features), jnp.float32)
         bias = None
@@ -548,7 +625,7 @@ class _PallasDeconv3D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold:
+        if not fold and not (cw_in or cw_out):
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
@@ -562,7 +639,7 @@ class _PallasDeconv3D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return rowdeconv3d_fused(x, k.astype(x.dtype), bias=shift,
-                                 relu=post_relu)
+                                 relu=post_relu, cw_in=cw_in, cw_out=cw_out)
 
 
 class _WideDeconv3D(nn.Module):
@@ -607,73 +684,94 @@ class Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x, post_scale=None, post_shift=None,
-                 post_relu: bool = False):
+                 post_relu: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         # post_*: eval-only folded batch norm, same semantics as Conv's.
         # The Pallas deconv branch fuses them into the kernel's output-row
         # writes; other branches lower them as XLA elementwise ops — there
         # the win is the output staying in the conv dtype (bf16) instead
         # of BatchNormRef's f32.
+        # cw_in/cw_out: channel-second-minor layout contract (see Conv).
         ndim = x.ndim - 2
         use_wide = self.wide_lowering is True
         post_done = False
+        cw_native = False
         if (not use_wide
                 and _pallas_deconv3d_available(x, self.filters, self.kernel,
-                                               self.stride)):
+                                               self.stride, cw=cw_in)):
             y = _PallasDeconv3D(self.filters, use_bias=self.use_bias,
                                 dtype=self.dtype,
                                 name="ConvTranspose_0")(x, post_scale,
-                                                        post_shift, post_relu)
+                                                        post_shift, post_relu,
+                                                        cw_in=cw_in,
+                                                        cw_out=cw_out)
             post_done = True
+            cw_native = True
         elif (not use_wide
               and _pallas_deconv2d_available(x, self.filters, self.kernel,
-                                             self.stride)):
+                                             self.stride, cw=cw_in)):
             y = _PallasDeconv2D(self.filters, use_bias=self.use_bias,
                                 dtype=self.dtype,
                                 name="ConvTranspose_0")(x, post_scale,
-                                                        post_shift, post_relu)
+                                                        post_shift, post_relu,
+                                                        cw_in=cw_in,
+                                                        cw_out=cw_out)
             post_done = True
-        elif (use_wide and ndim == 3
-                and tuple(_pair(self.kernel, ndim)) == (3, 3, 3)
-                and tuple(_pair(self.stride, ndim)) == (2, 2, 2)
-                and self.filters <= 32):
-            y = _WideDeconv3D(self.filters, use_bias=self.use_bias,
-                              dtype=self.dtype, name="ConvTranspose_0")(x)
+            cw_native = True
         else:
-            y = nn.ConvTranspose(
-                features=self.filters,
-                kernel_size=_pair(self.kernel, ndim),
-                strides=_pair(self.stride, ndim),
-                padding="SAME",
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="ConvTranspose_0",
-            )(x)
+            if cw_in:
+                x = _swap_cw(x)
+            if (use_wide and ndim == 3
+                    and tuple(_pair(self.kernel, ndim)) == (3, 3, 3)
+                    and tuple(_pair(self.stride, ndim)) == (2, 2, 2)
+                    and self.filters <= 32):
+                y = _WideDeconv3D(self.filters, use_bias=self.use_bias,
+                                  dtype=self.dtype, name="ConvTranspose_0")(x)
+            else:
+                y = nn.ConvTranspose(
+                    features=self.filters,
+                    kernel_size=_pair(self.kernel, ndim),
+                    strides=_pair(self.stride, ndim),
+                    padding="SAME",
+                    use_bias=self.use_bias,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="ConvTranspose_0",
+                )(x)
         if not post_done and (post_scale is not None or post_shift is not None
                               or post_relu):
             y = _post_affine(y, post_scale, post_shift, post_relu)
         if self.relu:
             y = nn.relu(y)
+        if cw_out and not cw_native:
+            y = _swap_cw(y)
         return y
 
 
-def group_norm_core(x, gamma, beta, num_groups: int, eps: float):
+def group_norm_core(x, gamma, beta, num_groups: int, eps: float,
+                    channel_axis: int = -1):
     """Normalize (N, ..., C) over [channels-within-group + all spatial dims].
 
     Grouping matches the reference reshape [N, G, C//G, H, W] on a NCHW
     transpose (network.py:240-254): channel c belongs to group c // (C//G).
 
-    Implemented NHWC-native (split only the minor channel axis, reduce over
-    spatial + within-group): no transposes, so XLA fuses the whole norm into
-    neighboring convs instead of materializing relaid-out feature maps.
+    Implemented layout-native (reduce whichever axes are spatial, keep the
+    channel axis where it is): no transposes, so XLA fuses the whole norm
+    into neighboring convs instead of materializing relaid-out feature
+    maps. channel_axis=-2 serves the CW (…, C, W) pipeline.
     """
     orig_dtype = x.dtype
+    ca = channel_axis % x.ndim
     N = x.shape[0]
-    C = x.shape[-1]
-    spatial = x.shape[1:-1]
+    C = x.shape[ca]
     G = num_groups
-    spatial_axes = tuple(range(1, 1 + len(spatial)))
+    spatial_axes = tuple(i for i in range(1, x.ndim) if i != ca)
     count = C // G  # channels per group
+    bshape = [1] * x.ndim
+    bshape[0] = N
+    bshape[ca] = C
+    gshape = [1] * x.ndim
+    gshape[ca] = C
 
     # Two-pass moments via per-CHANNEL spatial reductions first, then a
     # group combine on the tiny (N, C) array. The obvious
@@ -687,10 +785,11 @@ def group_norm_core(x, gamma, beta, num_groups: int, eps: float):
         return jnp.broadcast_to(g, (N, G, count)).reshape(N, C)
 
     mean_c = group_mean(xf.mean(axis=spatial_axes))   # E[x] per (N, C-group)
-    mean_b = mean_c.reshape(N, *([1] * len(spatial)), C)
+    mean_b = mean_c.reshape(bshape)
     var_c = group_mean(jnp.square(xf - mean_b).mean(axis=spatial_axes))
-    var_b = var_c.reshape(N, *([1] * len(spatial)), C)
-    y = (xf - mean_b) * jax.lax.rsqrt(var_b + eps) * gamma + beta
+    var_b = var_c.reshape(bshape)
+    y = ((xf - mean_b) * jax.lax.rsqrt(var_b + eps) * gamma.reshape(gshape)
+         + beta.reshape(gshape))
     return y.astype(orig_dtype)
 
 
@@ -704,14 +803,15 @@ class GroupNormRef(nn.Module):
     center: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
+    def __call__(self, x, cw: bool = False):
+        C = x.shape[-2] if cw else x.shape[-1]
         G = max(1, C // self.group_channel)
         gamma = (self.param("scale", nn.initializers.ones, (C,), jnp.float32)
                  if self.scale else jnp.ones((C,), jnp.float32))
         beta = (self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
                 if self.center else jnp.zeros((C,), jnp.float32))
-        return group_norm_core(x, gamma, beta, G, self.eps)
+        return group_norm_core(x, gamma, beta, G, self.eps,
+                               channel_axis=-2 if cw else -1)
 
 
 class GroupNormFlexible(nn.Module):
@@ -835,11 +935,14 @@ class ConvGN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cw_in: bool = False, cw_out: bool = False):
+        # CW chaining: the conv emits its native (…, C, W) layout and the
+        # group norm runs channel-axis=-2 in place — zero relayouts.
         y = Conv(self.filters, self.kernel, self.stride, relu=False,
-                 use_bias=False, dtype=self.dtype, name="conv")(x)
+                 use_bias=False, dtype=self.dtype, name="conv")(
+                     x, cw_in=cw_in, cw_out=cw_out)
         y = GroupNormRef(self.group_channel, scale=self.scale, center=self.center,
-                         name="gn")(y)
+                         name="gn")(y, cw=cw_out)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -859,11 +962,12 @@ class DeconvGN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cw_in: bool = False, cw_out: bool = False):
         y = Deconv(self.filters, self.kernel, self.stride, relu=False,
-                   use_bias=False, dtype=self.dtype, name="deconv")(x)
+                   use_bias=False, dtype=self.dtype, name="deconv")(
+                       x, cw_in=cw_in, cw_out=cw_out)
         y = GroupNormRef(self.group_channel, scale=self.scale, center=self.center,
-                         name="gn")(y)
+                         name="gn")(y, cw=cw_out)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -892,7 +996,8 @@ class ConvBN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         bn = BatchNormRef(center=self.center, scale=self.scale, name="bn")
         conv = Conv(self.filters, self.kernel, self.stride, relu=False,
                     use_bias=False, dtype=self.dtype, name="conv")
@@ -904,12 +1009,14 @@ class ConvBN(nn.Module):
             # the output stays in the conv dtype instead of BN's f32.
             scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
             return conv(x, post_scale=scale, post_shift=shift,
-                        post_relu=self.relu)
+                        post_relu=self.relu, cw_in=cw_in, cw_out=cw_out)
+        if cw_in:
+            x = _swap_cw(x)
         y = conv(x)
         y = bn(y, training)
         if self.relu:
             y = nn.relu(y)
-        return y
+        return _swap_cw(y) if cw_out else y
 
 
 class DeconvBN(nn.Module):
@@ -924,16 +1031,19 @@ class DeconvBN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, cw_in: bool = False,
+                 cw_out: bool = False):
         bn = BatchNormRef(center=self.center, scale=self.scale, name="bn")
         deconv = Deconv(self.filters, self.kernel, self.stride, relu=False,
                         use_bias=False, dtype=self.dtype, name="deconv")
         if not training:
             scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
             return deconv(x, post_scale=scale, post_shift=shift,
-                          post_relu=self.relu)
+                          post_relu=self.relu, cw_in=cw_in, cw_out=cw_out)
+        if cw_in:
+            x = _swap_cw(x)
         y = deconv(x)
         y = bn(y, training)
         if self.relu:
             y = nn.relu(y)
-        return y
+        return _swap_cw(y) if cw_out else y

@@ -28,6 +28,7 @@ from flax import linen as nn
 from mvsnet_tpu.config import ModelConfig
 from mvsnet_tpu.models.feature_net import UNetDS2GN
 from mvsnet_tpu.models.gru import GRURegularizer
+from mvsnet_tpu.models.layers import cw_pipeline_enabled
 from mvsnet_tpu.models.refine import RefineNetConv, RefineUNetConv
 from mvsnet_tpu.models.regnet import RegNetUS0
 from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
@@ -63,13 +64,16 @@ class MVSNet(nn.Module):
 
     cfg: ModelConfig
 
-    def _extract_features(self, images):
+    def _extract_features(self, images, training: bool = False):
         """(B, V, H, W, 3) -> ref (B,h,w,C), views (V-1,B,h,w,C)."""
         cfg = self.cfg
         B, V, H, W, _ = images.shape
         flat = images.reshape(B * V, H, W, 3)
+        # eval towers chain in the Pallas kernels' CW layout (zero
+        # inter-layer relayouts); training keeps the differentiable path
+        cw = (not training) and cw_pipeline_enabled()
         feats = UNetDS2GN(cfg.network_mode, dtype=cfg.compute_dtype,
-                          name="feature_net")(flat)
+                          name="feature_net")(flat, cw=cw)
         h, w, C = feats.shape[1:]
         feats = feats.reshape(B, V, h, w, C)
         ref = constrain(feats[:, 0], "data", "space")
@@ -95,7 +99,7 @@ class MVSNet(nn.Module):
         depth_interval = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
         depth_end = depth_start + (cfg.max_d - 1) * depth_interval
 
-        ref_f, view_f = self._extract_features(images)
+        ref_f, view_f = self._extract_features(images, training)
         fh, fw = ref_f.shape[1:3]
         # The 3-level encoder/decoder of RegNetUS0 needs every halving to
         # stay even, i.e. (D, h, w) divisible by 8 => input H, W divisible
@@ -119,16 +123,24 @@ class MVSNet(nn.Module):
                 lambda r, v, h_: plane_sweep_cost_volume(
                     r, v, h_, use_pallas=cfg.use_pallas, differentiable=True))
             cost_volume = build(ref_f, view_f, homs)
+            cw = False
         else:
+            # CW handoff: the fused cost kernel natively emits
+            # channel-second-minor (B, D, h, C, w), which the eval RegNet
+            # pipeline consumes without any relayout (models/regnet.py).
+            cw = cw_pipeline_enabled()
             cost_volume = plane_sweep_cost_volume(ref_f, view_f, homs,
-                                                  use_pallas=cfg.use_pallas)
+                                                  use_pallas=cfg.use_pallas,
+                                                  cw_out=cw)
 
         # depth-slab + spatial sharding of the cost volume: GSPMD inserts
         # halo exchanges for the 3D U-Net and a collective softmax along D.
+        # (CW only reorders the two minor axes, so the named-axis prefix
+        # (data, depth, space) is layout-independent.)
         cost_volume = constrain(cost_volume, "data", "depth", "space")
 
         reg = RegNetUS0(cfg.network_mode, dtype=cfg.compute_dtype,
-                        name="regnet")(cost_volume, training)
+                        name="regnet")(cost_volume, training, x_cw=cw)
         reg = jnp.squeeze(reg, axis=-1).astype(jnp.float32)     # (B, D, h, w)
         reg = constrain(reg, "data", "depth", "space")
 
@@ -158,7 +170,8 @@ class MVSNet(nn.Module):
             depth_interval = jnp.broadcast_to(jnp.asarray(depth_interval, jnp.float32), (B,))
             depth_end = depth_start + (cfg.max_d - 1) * depth_interval
 
-        ref_f, view_f = self._extract_features(images)
+        ref_f, view_f = self._extract_features(images,
+                                               training=differentiable)
         h, w = ref_f.shape[1:3]
 
         homs = homographies_for_views(

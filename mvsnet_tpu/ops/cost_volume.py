@@ -84,7 +84,8 @@ def _warp_all_depths(img, homs, fill_mode):
 def plane_sweep_cost_volume(ref_feature, view_features, homographies,
                             depth_chunk: int = 0, fill_mode: str = "zeros",
                             out_dtype=None, use_pallas: bool = True,
-                            differentiable: bool = False):
+                            differentiable: bool = False,
+                            cw_out: bool = False):
     """Build the full (B, D, H, W, C) variance cost volume.
 
     Args:
@@ -100,6 +101,10 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
       differentiable: gradients will flow through this call. Selects the
         custom-VJP Pallas warp (transposed-warp backward kernel) instead of
         the fused cost kernel; camera/homography cotangents are zero.
+      cw_out: return (B, D, H, C, W) channel-second-minor — free on the
+        fused-kernel path (its native layout) and consumed relayout-free
+        by the CW RegNet eval pipeline; other paths pay one transpose
+        (net zero: the regularizer's first conv pays it otherwise).
     """
     V_minus_1, B, D = homographies.shape[:3]
     H, W, C = ref_feature.shape[1:]
@@ -127,9 +132,10 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             if (not differentiable
                     and pallas_cost_sharded_supported(
                         B, H, W, C, V_minus_1, D, mesh, ref_feature.dtype)):
-                return pallas_sweep_cost_volume_sharded(
+                out = pallas_sweep_cost_volume_sharded(
                     ref_feature, view_features, homographies,
                     mesh).astype(out_dtype)
+                return jnp.swapaxes(out, -1, -2) if cw_out else out
             logger.warning(
                 "Pallas cost kernel unavailable on mesh %s at (B=%d, H=%d, "
                 "W=%d, C=%d, V=%d, D=%d, diff=%s) — falling back to the XLA "
@@ -143,7 +149,7 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             views_bmajor = jnp.moveaxis(view_features, 0, 1)
             homs_bmajor = jnp.moveaxis(homographies, 0, 1)
             outs = [pallas_sweep_cost_volume(ref_feature[b], views_bmajor[b],
-                                             homs_bmajor[b])
+                                             homs_bmajor[b], cw_out=cw_out)
                     for b in range(B)]
             return jnp.stack(outs, axis=0).astype(out_dtype)
         elif pallas_sweep_supported(H, W, C, ref_feature.dtype):
@@ -200,9 +206,11 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
     if pallas_warp:
         # vmap over a pallas_call makes all batch elements VMEM-resident;
         # loop the (small, static) batch instead.
-        return jnp.stack([per_batch(ref_feature[b], views_bmajor[b], homs_bmajor[b])
-                          for b in range(B)], axis=0)
-    return jax.vmap(per_batch)(ref_feature, views_bmajor, homs_bmajor)
+        out = jnp.stack([per_batch(ref_feature[b], views_bmajor[b],
+                                   homs_bmajor[b]) for b in range(B)], axis=0)
+    else:
+        out = jax.vmap(per_batch)(ref_feature, views_bmajor, homs_bmajor)
+    return jnp.swapaxes(out, -1, -2) if cw_out else out
 
 
 def cost_slice(ref_feature, view_features, homographies_d, fill_mode: str = "zeros"):

@@ -327,9 +327,15 @@ def rowconv2d_s2_supported(H: int, W: int, C: int, Cout: int,
             and _s2_band_rows(H // 2, W // 2, C, Cout, K, item) > 0)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret",
+                                             "cw_in", "cw_out"))
 def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False, cw_in: bool = False,
+                           cw_out: bool = False):
+    if cw_in:
+        # the dx-tap fold reads lane-minor W; pay the relayout here (net
+        # zero: the CW producer skipped its own output transpose)
+        x = jnp.transpose(x, (0, 1, 3, 2))
     B, H, W, C = x.shape
     K, cout = kernel.shape[0], kernel.shape[-1]
     H2, W2 = H // 2, W // 2
@@ -383,6 +389,8 @@ def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
         return jnp.concatenate(parts, axis=1)
 
     out = jnp.concatenate([one(cat[b]) for b in range(B)], axis=0)
+    if cw_out:
+        return out                                    # (B, H2, Cout, W2)
     return jnp.transpose(out, (0, 1, 3, 2))           # (B, H2, W2, Cout)
 
 
@@ -442,10 +450,13 @@ def _s2_vjp_bwd(res, g):
 rowconv2d_s2.defvjp(_s2_vjp_fwd, _s2_vjp_bwd)
 
 
-def rowconv2d_s2_fused(x, kernel, bias=None, relu: bool = False):
-    """Eval-only fused s2 conv + per-channel bias + ReLU (one Pallas pass)."""
+def rowconv2d_s2_fused(x, kernel, bias=None, relu: bool = False,
+                       cw_in: bool = False, cw_out: bool = False):
+    """Eval-only fused s2 conv + per-channel bias + ReLU (one Pallas pass).
+    cw_in/cw_out: channel-second-minor (B, H, C, W) in/out."""
     return _rowconv2d_s2_fwd_impl(x, kernel, bias, relu=relu,
-                                  interpret=_auto_interpret())
+                                  interpret=_auto_interpret(),
+                                  cw_in=cw_in, cw_out=cw_out)
 
 
 def rowconv2d_s2_interpret(x, kernel):
@@ -486,15 +497,24 @@ def _weights_wide2d(kernel):
     return jnp.transpose(kernel, (0, 3, 1, 2)).reshape(kh * cout, kw * cin)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret",
+                                             "cw_in", "cw_out"))
 def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, cw_in: bool = False,
+                        cw_out: bool = False):
+    # cw_in/cw_out: accept/emit the kernels' native channel-second-minor
+    # (B, H, C, W) layout — chained CW convs (the UNetDS2GN eval pipeline)
+    # skip the per-layer NHWC relayouts.
     import os  # noqa: PLC0415
 
-    B, H, W, C = x.shape
+    if cw_in:
+        B, H, C, W = x.shape
+        xt = x
+    else:
+        B, H, W, C = x.shape
+        xt = jnp.transpose(x, (0, 1, 3, 2))             # (B, H, C, W)
     cout = kernel.shape[-1]
     w2 = _weights_wide2d(kernel)
-    xt = jnp.transpose(x, (0, 1, 3, 2))                 # (B, H, C, W)
     item = jnp.dtype(x.dtype).itemsize
     nb = _num_bands(H, W, C, cout, item) or 1
     hb = H // nb
@@ -547,6 +567,8 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
                               axis=0)                   # (B, HP, Cout, WP)
         out = jnp.transpose(out.reshape(B, HP, cout, pack, W),
                             (0, 1, 3, 2, 4)).reshape(B, H, cout, W)
+        if cw_out:
+            return out                                  # (B, H, Cout, W)
         return jnp.transpose(out, (0, 1, 3, 2))         # (B, H, W, Cout)
 
     def call(xb, hband):
@@ -602,6 +624,8 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
         return jnp.concatenate(parts, axis=1)
 
     out = jnp.concatenate([one(xt[b]) for b in range(B)], axis=0)
+    if cw_out:
+        return out                                      # (B, H, Cout, W)
     return jnp.transpose(out, (0, 1, 3, 2))             # (B, H, W, Cout)
 
 
@@ -700,13 +724,16 @@ def _s2b_vjp_bwd(res, g):
 rowconv2d_s2_bias.defvjp(_s2b_vjp_fwd, _s2b_vjp_bwd)
 
 
-def rowconv2d_fused(x, kernel, bias=None, relu: bool = False):
+def rowconv2d_fused(x, kernel, bias=None, relu: bool = False,
+                    cw_in: bool = False, cw_out: bool = False):
     """Eval-only fused conv + per-channel bias + ReLU in one Pallas pass.
 
     The bias add and ReLU ride the carry kernel's single output-row write
     (like conv3d.rowconv3d_fused) — a folded eval-mode batch norm or a
     conv bias costs zero extra HBM traffic. NOT differentiable — training
-    uses `rowconv2d` + unfused epilogues.
+    uses `rowconv2d` + unfused epilogues. cw_in/cw_out take/return the
+    channel-second-minor (B, H, C, W) layout.
     """
     return _rowconv2d_fwd_impl(x, kernel, bias, relu=relu,
-                               interpret=_auto_interpret())
+                               interpret=_auto_interpret(),
+                               cw_in=cw_in, cw_out=cw_out)

@@ -349,10 +349,19 @@ def _weights_wide(kernel):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stride", "relu", "interpret"))
+                   static_argnames=("stride", "relu", "interpret",
+                                    "cw_in", "cw_out"))
 def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
-                        relu: bool = False, interpret: bool = False):
-    B, D, H, W, C = x.shape
+                        relu: bool = False, interpret: bool = False,
+                        cw_in: bool = False, cw_out: bool = False):
+    # cw_in/cw_out: accept/emit the kernel's native channel-second-minor
+    # (B, D, H, C, W) layout, skipping the NDHWC relayout on that side.
+    # Chained CW convs (the RegNet eval pipeline, models/regnet.py) then
+    # pay ZERO transposes between layers instead of two per layer.
+    if cw_in:
+        B, D, H, C, W = x.shape
+    else:
+        B, D, H, W, C = x.shape
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel)
     has_bias = bias is not None
@@ -383,13 +392,19 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
                    pltpu.VMEM((3, HP, cout, WP), jnp.float32)]
         # channel-second-minor input + (9Cout, 3C) weights; PACK rows
         # ride the lane axis (lane = r*W + x)
-        x = jnp.transpose(x, (0, 1, 2, 4, 3))
+        if not cw_in:
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         if pack > 1:
             x = x.reshape(B, D, HP, pack, C, W)
             x = jnp.transpose(x, (0, 1, 2, 4, 3, 5)).reshape(B, D, HP, C, WP)
         wr = wr.T
     else:
         assert stride == 2 and D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+        if cw_in:
+            # the s2 kernel reads (W/2, 2C) lane-interleaved rows — that
+            # slicing only exists in W-minor order, so pay the relayout
+            # here (net zero: the producer skipped its output transpose).
+            x = jnp.transpose(x, (0, 1, 2, 4, 3))
         kern = _make_kernel_s2(D, H, W, C, cout, has_bias, relu)
         out_shape = (D // 2, H // 2, cout, W // 2)
         out_spec = pl.BlockSpec((1, H // 2, cout, W // 2),
@@ -439,10 +454,16 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
 
     out = jnp.stack([one(x[b]) for b in range(B)], axis=0)
     if stride == 1 and pack > 1:
-        # (B, D, HP, Co, PACK*W) -> (B, D, H, W, Co)
         out = out.reshape(B, D, H // pack, cout, pack, W)
+        if cw_out:
+            # (B, D, HP, Co, PACK, W) -> (B, D, H, Co, W)
+            out = jnp.transpose(out, (0, 1, 2, 4, 3, 5))
+            return out.reshape(B, D, H, cout, W)
+        # (B, D, HP, Co, PACK*W) -> (B, D, H, W, Co)
         out = jnp.transpose(out, (0, 1, 2, 4, 5, 3))
         return out.reshape(B, D, H, W, cout)
+    if cw_out:
+        return out                                   # (B, D', H', Co, W')
     return jnp.transpose(out, (0, 1, 2, 4, 3))       # -> (B, D', H', W', Co)
 
 
@@ -526,7 +547,8 @@ def rowconv3d(x, kernel, stride: int = 1):
 
 
 def rowconv3d_fused(x, kernel, bias=None, relu: bool = False,
-                    stride: int = 1):
+                    stride: int = 1, cw_in: bool = False,
+                    cw_out: bool = False):
     """Eval-only fused conv + per-channel bias + ReLU in one Pallas pass.
 
     The bias add and ReLU ride the kernel's final slab write (f32
@@ -535,6 +557,11 @@ def rowconv3d_fused(x, kernel, bias=None, relu: bool = False,
     costs zero extra HBM traffic vs the bare conv. NOT differentiable —
     training uses `rowconv3d` + the unfused norm so batch stats stay exact
     (reference semantics: network.py:278-298 conv -> BN -> ReLU).
+
+    cw_in/cw_out: take/return the channel-second-minor (B, D, H, C, W)
+    layout (the kernels' native one) so chained eval convs skip the
+    per-layer NDHWC relayouts entirely.
     """
     return _rowconv3d_fwd_impl(x, kernel, bias, stride=stride, relu=relu,
-                               interpret=_auto_interpret())
+                               interpret=_auto_interpret(),
+                               cw_in=cw_in, cw_out=cw_out)

@@ -122,17 +122,24 @@ def _weights_wide(kernel):
     return jnp.transpose(kf, (0, 1, 3, 2)).reshape(kh * kw * cout, cin)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret",
+                                             "cw_in", "cw_out"))
 def _rowdeconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
-                          interpret: bool = False):
-    B, H, W, C = x.shape
+                          interpret: bool = False, cw_in: bool = False,
+                          cw_out: bool = False):
+    # cw_in/cw_out: channel-second-minor (B, H, C, W) in/out (see
+    # conv2d._rowconv2d_fwd_impl).
+    if cw_in:
+        B, H, C, W = x.shape
+        xin = x
+    else:
+        B, H, W, C = x.shape
+        xin = jnp.transpose(x, (0, 1, 3, 2))         # (B, H, C, W)
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel).astype(x.dtype)
     has_bias = bias is not None
     nb = _band_split(H, W, C, cout, jnp.dtype(x.dtype).itemsize)
     hb = H // nb
-
-    xin = jnp.transpose(x, (0, 1, 3, 2))             # (B, H, C, W)
     in_specs = [
         pl.BlockSpec((1, hb, C, W), lambda g: (0, g, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -168,8 +175,12 @@ def _rowdeconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
         )(xb[None], *operands)[0]
 
     out = jnp.stack([one(xin[b]) for b in range(B)], axis=0)
-    # (B, 2H, co, [even-x W | odd-x W]) -> (B, 2H, 2W, co)
     out = out.reshape(B, 2 * H, cout, 2, W)
+    if cw_out:
+        # parity interleave only: (…, co, [even|odd], W) -> (…, co, 2W)
+        return jnp.transpose(out, (0, 1, 2, 4, 3)).reshape(
+            B, 2 * H, cout, 2 * W)
+    # (B, 2H, co, [even-x W | odd-x W]) -> (B, 2H, 2W, co)
     return jnp.transpose(out, (0, 1, 4, 3, 2)).reshape(B, 2 * H, 2 * W, cout)
 
 
@@ -229,7 +240,10 @@ def rowdeconv2d(x, kernel):
     return _rowdeconv2d(x, kernel)
 
 
-def rowdeconv2d_fused(x, kernel, bias=None, relu: bool = False):
-    """Eval-only fused deconv + per-channel bias + ReLU (one Pallas pass)."""
+def rowdeconv2d_fused(x, kernel, bias=None, relu: bool = False,
+                      cw_in: bool = False, cw_out: bool = False):
+    """Eval-only fused deconv + per-channel bias + ReLU (one Pallas pass).
+    cw_in/cw_out: channel-second-minor (B, H, C, W) in/out."""
     return _rowdeconv2d_fwd_impl(x, kernel, bias, relu=relu,
-                                 interpret=_auto_interpret())
+                                 interpret=_auto_interpret(),
+                                 cw_in=cw_in, cw_out=cw_out)

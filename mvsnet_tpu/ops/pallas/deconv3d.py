@@ -147,15 +147,23 @@ def _weights_wide(kernel):
                                                       cin)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret",
+                                             "cw_in", "cw_out"))
 def _rowdeconv3d_fwd_impl(x, kernel, bias=None, relu: bool = False,
-                          interpret: bool = False):
-    B, D, H, W, C = x.shape
+                          interpret: bool = False, cw_in: bool = False,
+                          cw_out: bool = False):
+    # cw_in/cw_out: channel-second-minor (B, D, H, C, W) in/out (see
+    # conv3d._rowconv3d_fwd_impl) — the CW output still pays the small
+    # parity interleave, but keeps channels off the minor dim.
+    if cw_in:
+        B, D, H, C, W = x.shape
+        xin = x
+    else:
+        B, D, H, W, C = x.shape
+        xin = jnp.transpose(x, (0, 1, 2, 4, 3))      # (B, D, H, C, W)
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel).astype(x.dtype)
     has_bias = bias is not None
-
-    xin = jnp.transpose(x, (0, 1, 2, 4, 3))          # (B, D, H, C, W)
     out_shape = (2 * D, 2 * H, cout, 2 * W)          # parity-split lanes
     in_specs = [
         pl.BlockSpec((1, H, C, W), lambda g: (g, 0, 0, 0),
@@ -192,8 +200,12 @@ def _rowdeconv3d_fwd_impl(x, kernel, bias=None, relu: bool = False,
         )(xb, *operands)
 
     out = jnp.stack([one(xin[b]) for b in range(B)], axis=0)
-    # (B, 2D, 2H, co, [even-x W | odd-x W]) -> (B, 2D, 2H, 2W, co)
     out = out.reshape(B, 2 * D, 2 * H, cout, 2, W)
+    if cw_out:
+        # parity interleave only: (…, co, [even|odd], W) -> (…, co, 2W)
+        return jnp.transpose(out, (0, 1, 2, 3, 5, 4)).reshape(
+            B, 2 * D, 2 * H, cout, 2 * W)
+    # (B, 2D, 2H, co, [even-x W | odd-x W]) -> (B, 2D, 2H, 2W, co)
     return jnp.transpose(out, (0, 1, 2, 5, 4, 3)).reshape(
         B, 2 * D, 2 * H, 2 * W, cout)
 
@@ -264,13 +276,16 @@ def rowdeconv3d(x, kernel):
     return _rowdeconv3d(x, kernel)
 
 
-def rowdeconv3d_fused(x, kernel, bias=None, relu: bool = False):
+def rowdeconv3d_fused(x, kernel, bias=None, relu: bool = False,
+                      cw_in: bool = False, cw_out: bool = False):
     """Eval-only fused deconv + per-channel bias + ReLU in one Pallas pass.
 
     Like conv3d.rowconv3d_fused: a folded eval-mode batch norm rides the
     output-row writes for zero extra HBM traffic. NOT differentiable —
     training uses `rowdeconv3d` + the unfused norm (reference semantics:
-    network.py:300-348 deconv -> BN -> ReLU).
+    network.py:300-348 deconv -> BN -> ReLU). cw_in/cw_out take/return the
+    channel-second-minor (B, D, H, C, W) layout.
     """
     return _rowdeconv3d_fwd_impl(x, kernel, bias, relu=relu,
-                                 interpret=_auto_interpret())
+                                 interpret=_auto_interpret(),
+                                 cw_in=cw_in, cw_out=cw_out)

@@ -526,13 +526,16 @@ def _preload_cchunk(height, width, channels, view_count_minus_1,
 
 def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
                                 interpret: bool = False, row_offset=None,
-                                out_rows: int = 0):
+                                out_rows: int = 0, cw_out: bool = False):
     """Slab-table fused cost volume (the fast path; C-chunks to fit).
 
     row_offset/out_rows: compute only output rows
     [row_offset, row_offset + out_rows) — ref_feature then holds just those
     rows while view_features stays full-height (the sharded multi-chip
     wrapper's row decomposition; row_offset may be traced).
+    cw_out: return the kernel's NATIVE (D, rows, C, W) channel-second-minor
+    layout, skipping the NDHWC relayout entirely (the CW RegNet eval
+    pipeline consumes it directly, models/regnet.py).
     """
     Vm1, D = homographies.shape[:2]
     H, W, C = view_features.shape[1:]
@@ -573,16 +576,16 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
             _preload_call(ref_feature[..., c0:c0 + cchunk],
                           view_features[..., c0:c0 + cchunk],
                           x, y, tables, H, W, out_rows, NT, KBLK, Vm1,
-                          interpret)
+                          interpret, cw_out)
             for c0 in range(0, C, cchunk)
         ]
-        return jnp.concatenate(parts, axis=-1)
+        return jnp.concatenate(parts, axis=-2 if cw_out else -1)
     return _preload_call(ref_feature, view_features, x, y, tables,
-                         H, W, out_rows, NT, KBLK, Vm1, interpret)
+                         H, W, out_rows, NT, KBLK, Vm1, interpret, cw_out)
 
 
 def _preload_call(ref_feature, view_features, x, y, tables, H, W,
-                  out_rows, NT, KBLK, Vm1, interpret):
+                  out_rows, NT, KBLK, Vm1, interpret, cw_out=False):
     D = x.shape[1]
     C = ref_feature.shape[-1]
     rows_blocks = out_rows // ROWS_PER_CELL
@@ -625,6 +628,8 @@ def _preload_call(ref_feature, view_features, x, y, tables, H, W,
             transcendentals=0,
         ),
     )(x, y, *tables, reft, cats)
+    if cw_out:
+        return out                                   # (D, rows, C, W) native
     return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, rows, W, C)
 
 
@@ -846,9 +851,9 @@ def _warp_ad_bwd(interpret, residuals, g):
 pallas_warp_all_depths_ad.defvjp(_warp_ad_fwd, _warp_ad_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "cw_out"))
 def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
-                             interpret: bool = False):
+                             interpret: bool = False, cw_out: bool = False):
     """Fused variance cost volume for one batch element.
 
     Dispatches to the slab-table preload kernel (C-chunked to fit VMEM
@@ -857,7 +862,9 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     Args:
       ref_feature: (H, W, C); view_features: (V-1, H, W, C);
       homographies: (V-1, D, 3, 3).
-    Returns (D, H, W, C) cost in ref_feature.dtype.
+    Returns (D, H, W, C) cost in ref_feature.dtype — or (D, H, C, W)
+    channel-second-minor when cw_out (free on the preload path: that IS
+    the kernel's output layout).
     """
     H, W, C = ref_feature.shape
     Vm1 = homographies.shape[0]
@@ -866,9 +873,11 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     # 2.6x on-chip at Vm1=2 and the per-chunk coord recompute is cheap).
     if _preload_cchunk(H, W, C, Vm1, view_features.dtype):
         return _pallas_cost_volume_preload(ref_feature, view_features,
-                                           homographies, interpret=interpret)
-    return _pallas_cost_volume_blockres(ref_feature, view_features,
-                                        homographies, interpret=interpret)
+                                           homographies, interpret=interpret,
+                                           cw_out=cw_out)
+    out = _pallas_cost_volume_blockres(ref_feature, view_features,
+                                       homographies, interpret=interpret)
+    return jnp.swapaxes(out, -1, -2) if cw_out else out
 
 
 def _pallas_cost_volume_blockres(ref_feature, view_features, homographies,

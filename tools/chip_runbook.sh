@@ -35,6 +35,12 @@ run 3600 featnet python tools/bench_featnet.py --full
 
 # 1. Headline benches, back-to-back in one window
 run 3600 bench_3dcnn python bench.py --metric 3dcnn
+# Same window: CW-layout pipeline A/B (channel-second-minor chaining of
+# the cost kernel + RegNet eval convs; CW=0 restores per-layer NDHWC)
+run 2400 bench_3dcnn_nocw env MVSNET_TPU_CW=0 python bench.py --metric 3dcnn
+# Same window: per-stage decomposition to explain the in-graph
+# 4.57->4.02 maps/s drift (stage sum vs e2e shows where the glue went)
+run 3600 stages python tools/bench_stages.py
 run 3600 bench_gru python bench.py --metric gru
 run 3600 bench_train python bench.py --metric train
 
