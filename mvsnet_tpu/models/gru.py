@@ -29,24 +29,31 @@ def gru_filter_sizes(network_mode: str) -> Tuple[int, int, int]:
 
 
 class ConvGRUCell(nn.Module):
+    """cw (call arg): x, h, and the output are channel-second-minor
+    (B, H, C, W) — the Pallas 2D conv kernels' native layout. The whole
+    cell (concat, convs, group norms, gates) runs in that layout so the
+    depth scan pays zero relayouts per plane. Layout-only: numerics are
+    identical either way (tests/test_cw_pipeline.py)."""
+
     filters: int
     kernel: int = 3
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, h):
+    def __call__(self, x, h, cw: bool = False):
         d = self.dtype
-        inputs = jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+        cat_ax = -2 if cw else -1
+        inputs = jnp.concatenate([x, h.astype(x.dtype)], axis=cat_ax)
         gates = Conv(2 * self.filters, self.kernel, 1, relu=False, use_bias=True,
-                     name="gates_conv", dtype=d)(inputs)
-        reset, update = jnp.split(gates, 2, axis=-1)
-        reset = nn.sigmoid(GroupNormFlexible(group_channel=16, name="reset_norm")(reset))
-        update = nn.sigmoid(GroupNormFlexible(group_channel=16, name="update_norm")(update))
+                     name="gates_conv", dtype=d)(inputs, cw_in=cw, cw_out=cw)
+        reset, update = jnp.split(gates, 2, axis=cat_ax)
+        reset = nn.sigmoid(GroupNormFlexible(group_channel=16, name="reset_norm")(reset, cw=cw))
+        update = nn.sigmoid(GroupNormFlexible(group_channel=16, name="update_norm")(update, cw=cw))
 
-        inputs2 = jnp.concatenate([x, (reset * h).astype(x.dtype)], axis=-1)
+        inputs2 = jnp.concatenate([x, (reset * h).astype(x.dtype)], axis=cat_ax)
         y = Conv(self.filters, self.kernel, 1, relu=False, use_bias=True,
-                 name="output_conv", dtype=d)(inputs2)
-        y = jnp.tanh(GroupNormFlexible(group_channel=16, name="output_norm")(y))
+                 name="output_conv", dtype=d)(inputs2, cw_in=cw, cw_out=cw)
+        y = jnp.tanh(GroupNormFlexible(group_channel=16, name="output_norm")(y, cw=cw))
         out = update * h + (1 - update) * y
         return out, out
 
@@ -63,21 +70,27 @@ class GRURegularizer(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, neg_cost, states: Sequence):
+    def __call__(self, neg_cost, states: Sequence, cw: bool = False):
+        # cw: neg_cost/states/reg are channel-second-minor (B, H, C, W) —
+        # see ConvGRUCell. The returned reg is (B, H, 1, W); its data order
+        # is identical to (B, H, W, 1), so the caller's swap is free.
         f1, f2, f3 = gru_filter_sizes(self.network_mode)
         d = self.dtype
-        c1, s1 = ConvGRUCell(f1, name="conv_gru1", dtype=d)(neg_cost, states[0])
-        c2, s2 = ConvGRUCell(f2, name="conv_gru2", dtype=d)(c1, states[1])
-        c3, s3 = ConvGRUCell(f3, name="conv_gru3", dtype=d)(c2, states[2])
-        reg = Conv(1, 3, 1, relu=False, use_bias=True, name="prob_conv", dtype=d)(c3)
+        c1, s1 = ConvGRUCell(f1, name="conv_gru1", dtype=d)(neg_cost, states[0], cw=cw)
+        c2, s2 = ConvGRUCell(f2, name="conv_gru2", dtype=d)(c1, states[1], cw=cw)
+        c3, s3 = ConvGRUCell(f3, name="conv_gru3", dtype=d)(c2, states[2], cw=cw)
+        reg = Conv(1, 3, 1, relu=False, use_bias=True, name="prob_conv",
+                   dtype=d)(c3, cw_in=cw, cw_out=cw)
         return reg, (s1, s2, s3)
 
     @staticmethod
     def init_states(batch: int, height: int, width: int, network_mode: str,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, cw: bool = False):
         f1, f2, f3 = gru_filter_sizes(network_mode)
+        shape = ((lambda f: (batch, height, f, width)) if cw
+                 else (lambda f: (batch, height, width, f)))
         return (
-            jnp.zeros((batch, height, width, f1), dtype),
-            jnp.zeros((batch, height, width, f2), dtype),
-            jnp.zeros((batch, height, width, f3), dtype),
+            jnp.zeros(shape(f1), dtype),
+            jnp.zeros(shape(f2), dtype),
+            jnp.zeros(shape(f3), dtype),
         )

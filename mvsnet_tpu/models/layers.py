@@ -826,28 +826,35 @@ class GroupNormFlexible(nn.Module):
     group: int = 32
 
     @nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
+    def __call__(self, x, cw: bool = False):
+        # cw: x is channel-second-minor (…, C, W) — normalize channel
+        # axis -2 in place (the CW GRU eval pipeline, models/gru.py).
+        ca = (x.ndim - 2) if cw else (x.ndim - 1)
+        C = x.shape[ca]
         G = max(1, C // self.group_channel) if self.channel_wise else min(self.group, C)
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        gshape = [1] * x.ndim
+        gshape[ca] = C
         if G == 1:
             eps = 1e-12
             x32 = x.astype(jnp.float32)
             axes = tuple(range(1, x.ndim))
             mean = x32.mean(axis=axes, keepdims=True)
             var = x32.var(axis=axes, keepdims=True)
-            y = (x32 - mean) / jnp.sqrt(var + eps) * gamma + beta
+            y = ((x32 - mean) / jnp.sqrt(var + eps) * gamma.reshape(gshape)
+                 + beta.reshape(gshape))
             return y.astype(x.dtype)
         if G >= C:
             eps = 1e-6
             x32 = x.astype(jnp.float32)
-            axes = tuple(range(1, x.ndim - 1))
+            axes = tuple(i for i in range(1, x.ndim) if i != ca)
             mean = x32.mean(axis=axes, keepdims=True)
             var = x32.var(axis=axes, keepdims=True)
-            y = (x32 - mean) / jnp.sqrt(var + eps) * gamma + beta
+            y = ((x32 - mean) / jnp.sqrt(var + eps) * gamma.reshape(gshape)
+                 + beta.reshape(gshape))
             return y.astype(x.dtype)
-        return group_norm_core(x, gamma, beta, G, 1e-5)
+        return group_norm_core(x, gamma, beta, G, 1e-5, channel_axis=ca)
 
 
 class BatchNormRef(nn.Module):

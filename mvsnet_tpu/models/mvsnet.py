@@ -48,14 +48,23 @@ def _resize_bilinear(x, height, width):
 
 
 class _GRUStep(nn.Module):
-    """One depth plane: cost slice -> 3-cell GRU -> 1-channel projection."""
+    """One depth plane: cost slice -> 3-cell GRU -> 1-channel projection.
+
+    cw: the whole step runs in the Pallas kernels' channel-second-minor
+    (B, h, C, w) layout — cost slices arrive in it straight from the fused
+    cost kernel and the GRU states stay in it across the scan; only the
+    1-channel reg output swaps back (free: (…, 1, w) and (…, w, 1) share
+    one data order)."""
 
     cfg: ModelConfig
+    cw: bool = False
 
     @nn.compact
     def __call__(self, carry, cost_d):
         reg, states = GRURegularizer(self.cfg.network_mode, dtype=self.cfg.compute_dtype,
-                                     name="gru")(-cost_d, carry)
+                                     name="gru")(-cost_d, carry, cw=self.cw)
+        if self.cw:
+            reg = jnp.swapaxes(reg, -1, -2)
         return states, reg.astype(jnp.float32)
 
 
@@ -182,21 +191,26 @@ class MVSNet(nn.Module):
         # Pallas sweep instead of D sequential small warps — the reference's
         # O(1)-memory per-plane loop, model.py:565-599, trades severe warp
         # inefficiency for memory the TPU doesn't need to save at 1/4 res).
+        # Eval rides the CW pipeline end to end: the fused cost kernel
+        # emits (B, D, h, C, w) natively and every GRU-cell conv/norm runs
+        # in that layout (models/gru.py) — zero relayouts per plane.
+        cw = (not differentiable) and cw_pipeline_enabled()
         cost_volume = plane_sweep_cost_volume(
             ref_f, view_f, homs, use_pallas=self.cfg.use_pallas,
-            differentiable=differentiable)
+            differentiable=differentiable, cw_out=cw)
         # (D is the sequential scan axis — only batch/space shard here)
-        cost_by_depth = jnp.moveaxis(cost_volume, 1, 0)      # (D, B, h, w, C)
+        cost_by_depth = jnp.moveaxis(cost_volume, 1, 0)  # (D, B, h, w, C) / CW (D, B, h, C, w)
         cost_by_depth = constrain(cost_by_depth, None, "data", "space")
 
-        init = GRURegularizer.init_states(B, h, w, cfg.network_mode, jnp.float32)
+        init = GRURegularizer.init_states(B, h, w, cfg.network_mode,
+                                          jnp.float32, cw=cw)
         scan = nn.scan(
             nn.remat(_GRUStep, static_argnums=()),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-        )(self.cfg, name="gru_sweep")
+        )(self.cfg, cw, name="gru_sweep")
         _, regs = scan(init, cost_by_depth)                  # (D, B, h, w, 1)
         return jnp.moveaxis(jnp.squeeze(regs, -1), 0, 1)     # (B, D, h, w)
 

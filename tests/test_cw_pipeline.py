@@ -237,6 +237,53 @@ class TestRegNetCW:
                                    atol=5e-5, rtol=1e-4)
 
 
+class TestGRUCW:
+    def test_cell_cw_matches_default(self):
+        """ConvGRUCell in CW layout (XLA convs on CPU): layout-only."""
+        from mvsnet_tpu.models.gru import ConvGRUCell
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 32)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((1, 8, 16, 16)), jnp.float32)
+        cell = ConvGRUCell(16)
+        vars_ = cell.init(jax.random.PRNGKey(0), x, h)
+        base, _ = cell.apply(vars_, x, h)
+        got, got_state = cell.apply(vars_, _swap(x), _swap(h), cw=True)
+        np.testing.assert_allclose(np.asarray(_swap(got)), np.asarray(base),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(_swap(got_state)),
+                                   np.asarray(base), atol=1e-6, rtol=1e-6)
+
+    def test_wta_graph_cw_matches_default(self, monkeypatch):
+        """Full forward_gru_wta eval graph: CW scan (cost handoff + CW GRU
+        states across planes) vs the default layout — identical numerics."""
+        from tests.test_models import _tiny_inputs
+
+        from mvsnet_tpu.config import ModelConfig
+        from mvsnet_tpu.models.mvsnet import MVSNet
+
+        cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                          network_mode="ultralite", compute_dtype="float32",
+                          regularization="GRU")
+        model = MVSNet(cfg)
+        images, cams, depth_start, depth_interval = _tiny_inputs(D=8)
+        params = model.init(jax.random.PRNGKey(0), images, cams, depth_start,
+                            depth_interval, method=MVSNet.forward_gru_wta)
+
+        monkeypatch.delenv("MVSNET_TPU_CW", raising=False)
+        d_base, p_base = model.apply(params, images, cams, depth_start,
+                                     depth_interval,
+                                     method=MVSNet.forward_gru_wta)
+        monkeypatch.setenv("MVSNET_TPU_CW", "1")
+        d_cw, p_cw = model.apply(params, images, cams, depth_start,
+                                 depth_interval,
+                                 method=MVSNet.forward_gru_wta)
+        np.testing.assert_allclose(np.asarray(d_cw), np.asarray(d_base),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p_cw), np.asarray(p_base),
+                                   atol=1e-6, rtol=1e-6)
+
+
 class TestForward3DCNNCW:
     def test_graph_cw_matches_default(self, monkeypatch):
         """Full 3DCNN eval graph with the CW cost-volume handoff (XLA paths

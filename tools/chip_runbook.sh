@@ -42,6 +42,8 @@ run 2400 bench_3dcnn_nocw env MVSNET_TPU_CW=0 python bench.py --metric 3dcnn
 # 4.57->4.02 maps/s drift (stage sum vs e2e shows where the glue went)
 run 3600 stages python tools/bench_stages.py
 run 3600 bench_gru python bench.py --metric gru
+# Same window: GRU CW A/B (CW scan states + cost handoff vs NDHWC)
+run 2400 bench_gru_nocw env MVSNET_TPU_CW=0 python bench.py --metric gru
 run 3600 bench_train python bench.py --metric train
 
 # 2. Same-window knob A/Bs: with two straight-line blocks, smaller BAND
