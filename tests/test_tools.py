@@ -157,3 +157,49 @@ def test_hp_search_handles_failed_trials():
     res = hp_search.run_search(space, 8, objective, random.Random(1),
                                strategy="bayes", init_trials=2)
     assert res[0]["score"] is not None
+
+
+def test_eval_pointcloud_metrics(tmp_path):
+    """acc/comp/F-score on clouds with a KNOWN offset: pred = GT plane
+    shifted 1mm in z plus 20% outliers at 50mm — the metrics must read
+    exactly off that construction."""
+    import eval_pointcloud
+    from mvsnet_tpu.io.ply import write_ply
+
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(0, 100, (4000, 2))
+    gt = np.concatenate([xy, np.zeros((4000, 1))], axis=1)
+    pred_good = gt[:3200] + [0.0, 0.0, 1.0]
+    pred_bad = gt[3200:4000] + [0.0, 0.0, 50.0]
+    pred = np.concatenate([pred_good, pred_bad], axis=0)
+
+    m = eval_pointcloud.evaluate_clouds(pred, gt, threshold=2.0)
+    assert abs(m["accuracy_median"] - 1.0) < 0.05, m
+    assert abs(m["precision"] - 0.8) < 0.02, m
+    assert m["recall"] > 0.95, m          # dense plane: everything covered
+    assert 0.85 < m["fscore"] < 0.93, m
+    # bbox mask kills the 50mm outliers -> near-perfect accuracy
+    m2 = eval_pointcloud.evaluate_clouds(pred, gt, threshold=2.0,
+                                         bbox_margin=5.0)
+    assert m2["accuracy_mean"] < 1.5, m2
+
+    # CLI round trip through PLY files
+    pp, gp = str(tmp_path / "p.ply"), str(tmp_path / "g.ply")
+    write_ply(pp, pred.astype(np.float32))
+    write_ply(gp, gt.astype(np.float32))
+    rc = eval_pointcloud.main(["--pred", pp, "--gt", gp, "--threshold", "2"])
+    assert rc == 0
+
+
+def test_eval_pointcloud_voxel_downsample():
+    import eval_pointcloud
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 10, (5000, 3))
+    ds = eval_pointcloud.voxel_downsample(pts, 1.0)
+    assert len(ds) <= 1000 + 1  # at most the 10^3 occupied voxels
+    assert len(ds) > 500
+    # means stay inside their voxel
+    assert (np.floor(ds / 1.0) >= 0).all()
+    # no-op cases
+    assert eval_pointcloud.voxel_downsample(pts, 0.0) is pts
