@@ -75,8 +75,14 @@ ROWS_PER_CELL = 8
 # step) dominate; BAND=16 would blow the preload VMEM scratch.
 BAND = int(_os.environ.get("MVSNET_TPU_SWEEP_BAND", "8"))
 # A/B knob: restore the fully dynamic vertical-band loop (pre straight-line
-# second block) to isolate the pipeline-stall fix on chip.
-_STATIC2 = not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")
+# second block) to isolate the pipeline-stall fix on chip. At BAND >= 16
+# one block already covers the realistic span range (mean 9.1, max ~22 at
+# the 3DCNN rig -> nextra==0 for most rows), so the unconditional second
+# block would be pure waste — BAND=16 runs single-block + zero-trip
+# residual loop instead (same total MXU taps as BAND=8's two blocks,
+# half the per-block overhead; C auto-chunks to keep the slab tables in
+# VMEM, _preload_cchunk).
+_STATIC2 = (not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")) and BAND < 16
 
 # v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
 # limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep

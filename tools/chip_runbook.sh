@@ -49,6 +49,10 @@ run 3600 bench_train python bench.py --metric train
 # 2. Same-window knob A/Bs: with two straight-line blocks, smaller BAND
 #    = 25% less MXU work if spans fit 2*BAND-1
 run 2400 sweep_band6 env MVSNET_TPU_SWEEP_BAND=6 python tools/bench_sweep.py --skip-warp --skip-check
+# BAND=16: ONE static block covers realistic spans (same MXU taps as
+# BAND=8 x 2 blocks, half the per-block overhead; C auto-chunks to 16)
+run 2400 sweep_band16 env MVSNET_TPU_SWEEP_BAND=16 python tools/bench_sweep.py --skip-warp --skip-check
+run 2400 sweep_band16_gru env MVSNET_TPU_SWEEP_BAND=16 python tools/bench_sweep.py --point gru --skip-warp --skip-check
 run 2400 sweep_parsem env MVSNET_TPU_SWEEP_PARSEM=1 python tools/bench_sweep.py --skip-warp --skip-check
 run 2400 sweep_dynband env MVSNET_TPU_SWEEP_DYNBAND=1 python tools/bench_sweep.py --skip-warp --skip-check
 run 2400 sweep_gru python tools/bench_sweep.py --point gru --skip-warp --skip-check
