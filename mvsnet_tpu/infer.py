@@ -82,17 +82,26 @@ def compute_depth_maps(input_dir: str, args, predictor=None):
 
     upsample = bool(args.refinement and args.upsample_before_refinement)
     n = len(gen.clusters)
-    for step, batch in enumerate(batch_iterator(gen.iterate_once(), args.batch_size)):
-        scaled_images, input_images, scaled_cams, full_cams, indices, _ = batch
-        ds, di, dn, de = pl.depth_params_from_cams(scaled_cams)
-        t0 = time.time()
-        depth, prob, residual = predictor.predict(input_images, scaled_cams, ds, di, de)
-        logger.info("Depth inference %d/%d finished. (%.3f sec/step)",
-                    step * args.batch_size, n, time.time() - t0)
-        pl.write_output(output_dir, depth, prob, scaled_images, scaled_cams,
-                        full_cams, input_images, indices,
-                        residuals=residual, upsample=upsample,
-                        sample_scale=args.sample_scale, visualize=args.visualize)
+    # Pipelined loop: predict(fetch=False) dispatches asynchronously and
+    # the writer thread's np.asarray blocks on the device instead of the
+    # main loop — the chip computes cluster i+1 while the host encodes
+    # cluster i's PNGs/PFMs (reference wrote synchronously between
+    # clusters, predictlib.py:162-177).
+    with pl.AsyncOutputWriter() as writer:
+        for step, batch in enumerate(batch_iterator(gen.iterate_once(),
+                                                    args.batch_size)):
+            scaled_images, input_images, scaled_cams, full_cams, indices, _ = batch
+            ds, di, dn, de = pl.depth_params_from_cams(scaled_cams)
+            t0 = time.time()
+            depth, prob, residual = predictor.predict(
+                input_images, scaled_cams, ds, di, de, fetch=False)
+            logger.info("Depth inference %d/%d dispatched. (%.3f sec/step)",
+                        step * args.batch_size, n, time.time() - t0)
+            writer.write(output_dir, depth, prob, scaled_images, scaled_cams,
+                         full_cams, input_images, indices,
+                         residuals=residual, upsample=upsample,
+                         sample_scale=args.sample_scale,
+                         visualize=args.visualize)
     return predictor
 
 

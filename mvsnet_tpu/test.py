@@ -68,34 +68,41 @@ def benchmark_depth_maps(input_dir, args):
 
     losses, less_ones, less_threes, debugs = [], [], [], []
     n = len(gen.clusters)
-    for step, batch in enumerate(batch_iterator(gen.iterate_once(), args.batch_size)):
-        (scaled_images, input_images, scaled_cams, full_cams, full_depth,
-         indices, session_dirs) = batch
-        ds, di, dn, de = pl.depth_params_from_cams(scaled_cams)
-        t0 = time.time()
-        depth, prob, residual = predictor.predict(input_images, scaled_cams, ds, di, de)
-        if upsample_to_gt:
-            depth = np.asarray(jax.image.resize(
-                depth, (depth.shape[0],) + full_depth.shape[1:3] + (1,), "bilinear"))
-        loss, l1, l3, dbg = mvsnet_regression_loss(
-            depth, full_depth, ds, de, grad_loss=args.grad_loss)
-        loss, l1, l3, dbg = float(loss), float(l1), float(l3), float(dbg)
-        logger.info("depth inference %d/%d done. Image index %d. loss=%.4f "
-                    "<1px=%.4f <3px=%.4f (%.3f sec/step)", step, n,
-                    int(indices[0]), loss, l1, l3, time.time() - t0)
-        if args.write_output:
-            write_dir = os.path.join(str(session_dirs[0]), "depths_mvsnet")
-            mkdir_p(write_dir)
-            pl.write_output(write_dir, depth, prob, scaled_images, scaled_cams,
-                            full_cams, input_images, indices,
-                            residuals=residual,
-                            upsample=not upsample_to_gt,
-                            sample_scale=args.sample_scale,
-                            visualize=args.visualize)
-        losses.append(loss)
-        less_ones.append(l1)
-        less_threes.append(l3)
-        debugs.append(dbg)
+    # Metrics need fetched values (the loop stays synchronous on the
+    # device), but the PNG/PFM encodes still overlap the next cluster's
+    # compute via the background writer.
+    with pl.AsyncOutputWriter() as writer:
+        for step, batch in enumerate(batch_iterator(gen.iterate_once(),
+                                                    args.batch_size)):
+            (scaled_images, input_images, scaled_cams, full_cams, full_depth,
+             indices, session_dirs) = batch
+            ds, di, dn, de = pl.depth_params_from_cams(scaled_cams)
+            t0 = time.time()
+            depth, prob, residual = predictor.predict(input_images, scaled_cams,
+                                                      ds, di, de)
+            if upsample_to_gt:
+                depth = np.asarray(jax.image.resize(
+                    depth, (depth.shape[0],) + full_depth.shape[1:3] + (1,),
+                    "bilinear"))
+            loss, l1, l3, dbg = mvsnet_regression_loss(
+                depth, full_depth, ds, de, grad_loss=args.grad_loss)
+            loss, l1, l3, dbg = float(loss), float(l1), float(l3), float(dbg)
+            logger.info("depth inference %d/%d done. Image index %d. loss=%.4f "
+                        "<1px=%.4f <3px=%.4f (%.3f sec/step)", step, n,
+                        int(indices[0]), loss, l1, l3, time.time() - t0)
+            if args.write_output:
+                write_dir = os.path.join(str(session_dirs[0]), "depths_mvsnet")
+                mkdir_p(write_dir)
+                writer.write(write_dir, depth, prob, scaled_images, scaled_cams,
+                             full_cams, input_images, indices,
+                             residuals=residual,
+                             upsample=not upsample_to_gt,
+                             sample_scale=args.sample_scale,
+                             visualize=args.visualize)
+            losses.append(loss)
+            less_ones.append(l1)
+            less_threes.append(l3)
+            debugs.append(dbg)
     return losses, less_ones, less_threes, debugs
 
 

@@ -162,3 +162,37 @@ def test_fusion_sharded_matches_single(tmp_path):
     p2, _ = read_ply(merged)
     assert p1.shape == p2.shape
     np.testing.assert_allclose(np.sort(p1, axis=0), np.sort(p2, axis=0), atol=1e-4)
+
+
+def test_async_output_writer_overlaps_orders_and_raises():
+    """The writer must not serialize the producing loop (bounded queue,
+    background thread), must preserve submission order, and must re-raise
+    worker exceptions on flush/close."""
+    import time as _time
+
+    from mvsnet_tpu.predict import AsyncOutputWriter
+
+    calls = []
+
+    def slow_write(i):
+        _time.sleep(0.05)
+        calls.append(i)
+
+    w = AsyncOutputWriter(max_pending=2, write_fn=slow_write)
+    t0 = _time.time()
+    for i in range(4):
+        w.write(i)
+    enqueue_time = _time.time() - t0
+    w.close()
+    assert calls == [0, 1, 2, 3]
+    # 4 x 50ms of writes, but enqueueing only blocks past max_pending:
+    # strictly less than fully-serialized (0.2s) proves the overlap.
+    assert enqueue_time < 0.15, enqueue_time
+
+    def bad_write(_):
+        raise RuntimeError("disk full")
+
+    w2 = AsyncOutputWriter(write_fn=bad_write)
+    w2.write(0)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w2.close()
