@@ -226,22 +226,31 @@ def main() -> int:
     try:
         result = fn()
     except Exception as e:  # noqa: BLE001
-        # A Mosaic lowering/compile failure in one of the Pallas conv
-        # kernels must not lose the round's headline number: disable the
-        # conv kernels (trace-time env) and measure the XLA-conv path.
-        print(f"bench.py: Pallas path failed ({type(e).__name__}: {e}); "
-              "retrying with MVSNET_TPU_NO_PALLAS_CONV=1",
-              file=sys.stderr, flush=True)
-        os.environ["MVSNET_TPU_NO_PALLAS_CONV"] = "1"
+        # Staged fallbacks — a compile failure in any new fast path must
+        # not lose the round's headline number. Stage 1: drop the CW
+        # layout chaining (trace-time env; the NDHWC Pallas pipeline was
+        # chip-proven in round 2a). Stage 2: drop the Pallas convs too.
+        # Stage 3: full XLA.
+        print(f"bench.py: fast path failed ({type(e).__name__}: {e}); "
+              "retrying with MVSNET_TPU_CW=0", file=sys.stderr, flush=True)
+        os.environ["MVSNET_TPU_CW"] = "0"
         try:
             result = fn()
-            result["note"] = "pallas-conv fallback"
-        except Exception as e2:  # noqa: BLE001
-            print(f"bench.py: still failing ({type(e2).__name__}); "
-                  "retrying with use_pallas=False (XLA sweep too)",
+            result["note"] = "cw-off fallback"
+        except Exception as e1:  # noqa: BLE001
+            print(f"bench.py: still failing ({type(e1).__name__}); "
+                  "retrying with MVSNET_TPU_NO_PALLAS_CONV=1",
                   file=sys.stderr, flush=True)
-            result = fn(use_pallas=False)
-            result["note"] = "full XLA fallback"
+            os.environ["MVSNET_TPU_NO_PALLAS_CONV"] = "1"
+            try:
+                result = fn()
+                result["note"] = "pallas-conv fallback"
+            except Exception as e2:  # noqa: BLE001
+                print(f"bench.py: still failing ({type(e2).__name__}); "
+                      "retrying with use_pallas=False (XLA sweep too)",
+                      file=sys.stderr, flush=True)
+                result = fn(use_pallas=False)
+                result["note"] = "full XLA fallback"
     print(json.dumps(result))
     return 0
 
