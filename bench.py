@@ -218,9 +218,21 @@ def main() -> int:
     metric = os.environ.get("BENCH_METRIC", "3dcnn")
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
         metric = sys.argv[2]
+    # Tell a concurrently-running chip runbook (tools/chip_runbook.sh) to
+    # pause between its steps: two chip benches at once corrupt both.
+    import atexit  # noqa: PLC0415
+    sentinel = "/tmp/mvsnet_bench_active"
+    try:
+        with open(sentinel, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(lambda: os.path.exists(sentinel) and os.remove(sentinel))
+    except OSError:
+        pass
     if not _probe_chip():
         print("bench.py: TPU tunnel unresponsive (probe timed out) — "
               "no measurement possible", file=sys.stderr, flush=True)
+        if os.path.exists(sentinel):       # os._exit skips atexit hooks
+            os.remove(sentinel)
         os._exit(2)
     fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]
     try:

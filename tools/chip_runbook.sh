@@ -18,6 +18,19 @@ cd "$(dirname "$0")/.."
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 run() { # run <timeout_s> <label> <cmd...>
   local t="$1" label="$2"; shift 2
+  # Yield to the round-end driver bench: bench.py touches this sentinel
+  # (containing its PID) while it runs — two concurrent chip benches
+  # corrupt both. A sentinel whose writer is dead (bench SIGKILLed) is
+  # stale and removed.
+  while [ -e /tmp/mvsnet_bench_active ]; do
+    local bpid
+    bpid=$(cat /tmp/mvsnet_bench_active 2>/dev/null)
+    if [ -n "$bpid" ] && kill -0 "$bpid" 2>/dev/null; then
+      say "WAIT $label (driver bench pid $bpid active)"; sleep 30
+    else
+      rm -f /tmp/mvsnet_bench_active; break
+    fi
+  done
   say "START $label"
   timeout "$t" "$@" >> "$LOG" 2>&1
   local rc=$?
