@@ -22,12 +22,46 @@ from mvsnet_tpu.parallel import mesh as mesh_lib
 
 def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
     """Returns forward(variables, images, cams, depth_start, depth_interval)
-    jitted over `mesh`. Variables replicated; batch sharded over 'data'."""
+    jitted over `mesh`. Variables replicated; batch sharded over 'data'.
+
+    Two regimes, chosen statically per traced batch size:
+
+    * **Throughput serving** (B divisible by the device count): the whole
+      single-device forward runs per shard under `shard_map` — every
+      Pallas kernel and the CW layout chain engage exactly as on one
+      chip, with ZERO collectives (embarrassingly parallel over maps).
+      This is the production serving mode: linear scaling at full
+      single-chip kernel speed.
+    * **Latency mode** (B=1 or non-divisible): GSPMD shards the one
+      cost volume / U-Net over 'depth' x 'space' via the in-model
+      constraints (XLA convs + the shard_map'ed sharded cost kernel) —
+      slower per map than the Pallas pipeline but splits a single map's
+      latency across chips.
+    """
     mesh_lib.set_active_mesh(mesh)
     repl = NamedSharding(mesh, PartitionSpec())
     data_sharded = NamedSharding(mesh, PartitionSpec("data"))
+    n = mesh.devices.size
+    all_axes = tuple(mesh.axis_names)
+    batch_spec = PartitionSpec(all_axes)
+
+    def local_forward(variables, images, cams, depth_start, depth_interval):
+        with mesh_lib.shard_local():
+            return model.apply(variables, images, cams, depth_start,
+                               depth_interval, training=False,
+                               method=MVSNet.forward_3dcnn)
 
     def forward(variables, images, cams, depth_start, depth_interval):
+        B = images.shape[0]
+        if n > 1 and B % n == 0:
+            xs = (images, cams, depth_start, depth_interval)
+            xs = tuple(jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, batch_spec)) for x in xs)
+            return jax.shard_map(
+                local_forward, mesh=mesh,
+                in_specs=(PartitionSpec(),) + (batch_spec,) * 4,
+                out_specs=batch_spec, check_vma=False,
+            )(variables, *xs)
         return model.apply(variables, images, cams, depth_start,
                            depth_interval, training=False,
                            method=MVSNet.forward_3dcnn)
@@ -35,5 +69,4 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
     return jax.jit(
         forward,
         in_shardings=(repl, data_sharded, data_sharded, data_sharded, data_sharded),
-        out_shardings=data_sharded,
     )

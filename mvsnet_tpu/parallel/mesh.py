@@ -67,6 +67,24 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
+class shard_local:
+    """Trace-time context: inside a shard_map body each shard is a
+    single-device program — constrain() must no-op and the Pallas/CW
+    dispatches (which refuse naked pallas_calls under a >1-device mesh)
+    must see no active mesh. Restores the previous mesh on exit."""
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._saved = _ACTIVE_MESH
+        _ACTIVE_MESH = None
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._saved
+        return False
+
+
 def constrain(x, *axis_names):
     """with_sharding_constraint(x, P(*axis_names)) against the active mesh.
 

@@ -101,3 +101,45 @@ def test_sharded_inference_matches_single():
     np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
                                rtol=1e-4, atol=1e-4)
     set_active_mesh(None)
+
+
+def test_batch_parallel_serving_matches_single(monkeypatch):
+    """Throughput-serving mode: B divisible by device count runs the whole
+    single-device forward per shard (shard_map, zero collectives) — must
+    match the unsharded forward exactly, including with the CW layout
+    pipeline forced on inside the shards."""
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.infer_step import make_sharded_forward
+    import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32")
+    model = MVSNet(cfg)
+    images, cams, _, _ = ge._tiny_batch(batch=8)
+    ds = cams[:, 0, 1, 3, 0]
+    di = cams[:, 0, 1, 3, 1]
+    variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                           training=False, method=MVSNet.forward_3dcnn)
+    single = model.apply(variables, images, cams, ds, di, training=False,
+                         method=MVSNet.forward_3dcnn)
+
+    mesh = make_mesh(8)
+    try:
+        fwd = make_sharded_forward(model, cfg, mesh)
+        repl = NamedSharding(mesh, PartitionSpec())
+        out = fwd(jax.device_put(variables, repl), images, cams, ds, di)
+        np.testing.assert_allclose(np.asarray(single[0]), np.asarray(out[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(single[1]), np.asarray(out[1]),
+                                   rtol=1e-5, atol=1e-5)
+
+        # per-shard CW chain (XLA fallback convs on CPU): layout-only
+        monkeypatch.setenv("MVSNET_TPU_CW", "1")
+        fwd_cw = make_sharded_forward(model, cfg, mesh)
+        out_cw = fwd_cw(jax.device_put(variables, repl), images, cams, ds, di)
+        np.testing.assert_allclose(np.asarray(out_cw[0]), np.asarray(out[0]),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        set_active_mesh(None)
