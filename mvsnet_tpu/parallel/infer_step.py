@@ -70,3 +70,45 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
         forward,
         in_shardings=(repl, data_sharded, data_sharded, data_sharded, data_sharded),
     )
+
+
+def make_sharded_gru_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
+    """forward_gru_wta over `mesh` — throughput-serving regime only.
+
+    The GRU depth scan is sequential (no latency-mode sharding of one
+    map), but maps are independent: when B divides the device count the
+    whole WTA decode runs per shard under shard_map with zero
+    collectives, like make_sharded_forward's serving branch. Other batch
+    shapes run unsharded (replicated inputs, one chip does the work)."""
+    mesh_lib.set_active_mesh(mesh)
+    repl = NamedSharding(mesh, PartitionSpec())
+    data_sharded = NamedSharding(mesh, PartitionSpec("data"))
+    n = mesh.devices.size
+    all_axes = tuple(mesh.axis_names)
+    batch_spec = PartitionSpec(all_axes)
+
+    def local_forward(variables, images, cams, depth_start, depth_end):
+        with mesh_lib.shard_local():
+            return model.apply(variables, images, cams, depth_start,
+                               depth_interval=None, depth_end=depth_end,
+                               method=MVSNet.forward_gru_wta)
+
+    def forward(variables, images, cams, depth_start, depth_end):
+        B = images.shape[0]
+        if n > 1 and B % n == 0:
+            xs = (images, cams, depth_start, depth_end)
+            xs = tuple(jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, batch_spec)) for x in xs)
+            return jax.shard_map(
+                local_forward, mesh=mesh,
+                in_specs=(PartitionSpec(),) + (batch_spec,) * 4,
+                out_specs=batch_spec, check_vma=False,
+            )(variables, *xs)
+        return model.apply(variables, images, cams, depth_start,
+                           depth_interval=None, depth_end=depth_end,
+                           method=MVSNet.forward_gru_wta)
+
+    return jax.jit(
+        forward,
+        in_shardings=(repl, data_sharded, data_sharded, data_sharded, data_sharded),
+    )

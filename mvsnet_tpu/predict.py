@@ -96,7 +96,9 @@ class Predictor:
             from mvsnet_tpu.parallel.infer_step import make_sharded_forward  # noqa: PLC0415
             from mvsnet_tpu.parallel.mesh import factorize_devices, make_mesh  # noqa: PLC0415
             # inference batches are tiny (usually 1): keep the data axis at 1
-            # and give all devices to depth x space.
+            # and give all devices to depth x space. (Batches divisible by
+            # the device count flip to the batch-parallel serving regime
+            # inside make_sharded_forward regardless of mesh shape.)
             da, de_, sp = factorize_devices(self.num_devices)
             mesh = make_mesh(self.num_devices, shape=(1, da * de_, sp))
             sharded = make_sharded_forward(model, mcfg, mesh)
@@ -106,6 +108,18 @@ class Predictor:
                 return depth_map, prob_map, jnp.zeros_like(depth_map)
 
             return forward_sharded
+
+        if (self.num_devices or 1) > 1 and mcfg.regularization == "GRU":
+            from mvsnet_tpu.parallel.infer_step import make_sharded_gru_forward  # noqa: PLC0415
+            from mvsnet_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
+            mesh = make_mesh(self.num_devices)
+            sharded_gru = make_sharded_gru_forward(model, mcfg, mesh)
+
+            def forward_sharded_gru(variables, images, cams, ds, di, de):
+                depth_map, prob_map = sharded_gru(variables, images, cams, ds, de)
+                return depth_map, prob_map, jnp.zeros_like(depth_map)
+
+            return forward_sharded_gru
 
         def forward(variables, images, cams, depth_start, depth_interval, depth_end):
             if mcfg.regularization == "GRU":

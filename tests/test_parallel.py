@@ -143,3 +143,60 @@ def test_batch_parallel_serving_matches_single(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
     finally:
         set_active_mesh(None)
+
+
+def test_batch_parallel_gru_serving_matches_single():
+    """GRU WTA decode in the throughput-serving regime (shard_map over
+    maps): matches the unsharded decode."""
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.infer_step import make_sharded_gru_forward
+    import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      regularization="GRU")
+    model = MVSNet(cfg)
+    images, cams, _, _ = ge._tiny_batch(batch=8)
+    ds = cams[:, 0, 1, 3, 0]
+    de = cams[:, 0, 1, 3, 3]
+    variables = model.init(jax.random.PRNGKey(0), images, cams, ds,
+                           depth_interval=None, depth_end=de,
+                           method=MVSNet.forward_gru_wta)
+    single = model.apply(variables, images, cams, ds, depth_interval=None,
+                         depth_end=de, method=MVSNet.forward_gru_wta)
+
+    mesh = make_mesh(8)
+    try:
+        fwd = make_sharded_gru_forward(model, cfg, mesh)
+        repl = NamedSharding(mesh, PartitionSpec())
+        out = fwd(jax.device_put(variables, repl), images, cams, ds, de)
+        np.testing.assert_allclose(np.asarray(single[0]), np.asarray(out[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(single[1]), np.asarray(out[1]),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        set_active_mesh(None)
+
+
+def test_predictor_gru_multidevice_smoke():
+    """Predictor wires the GRU serving path when num_devices > 1."""
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu import predict as pl
+    import __graft_entry__ as ge
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      regularization="GRU")
+    images, cams, _, _ = ge._tiny_batch(batch=8)
+    ds = cams[:, 0, 1, 3, 0]
+    di = cams[:, 0, 1, 3, 1]
+    de = cams[:, 0, 1, 3, 3]
+    try:
+        p = pl.Predictor(cfg, model_dir=None, num_devices=8)
+        depth, prob, residual = p.predict(images, cams, ds, di, de)
+        assert depth.shape[0] == 8 and np.isfinite(depth).all()
+        assert prob.shape[0] == 8 and np.isfinite(prob).all()
+    finally:
+        set_active_mesh(None)
