@@ -47,9 +47,19 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
 
     def local_forward(variables, images, cams, depth_start, depth_interval):
         with mesh_lib.shard_local():
-            return model.apply(variables, images, cams, depth_start,
-                               depth_interval, training=False,
-                               method=MVSNet.forward_3dcnn)
+            depth_map, prob_map = model.apply(
+                variables, images, cams, depth_start, depth_interval,
+                training=False, method=MVSNet.forward_3dcnn)
+            if cfg.refinement:
+                # per-map refinement rides the same shard (no collectives)
+                stereo = (images[:, 1] if (cfg.refine_with_stereo
+                                           and images.shape[1] > 1) else None)
+                refined, _ = model.apply(
+                    variables, depth_map, images[:, 0], prob_map, depth_start,
+                    depth_interval, stereo_image=stereo, training=False,
+                    method=MVSNet.refine)
+                return refined, prob_map
+            return depth_map, prob_map
 
     def forward(variables, images, cams, depth_start, depth_interval):
         B = images.shape[0]
@@ -62,9 +72,18 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
                 in_specs=(PartitionSpec(),) + (batch_spec,) * 4,
                 out_specs=batch_spec, check_vma=False,
             )(variables, *xs)
-        return model.apply(variables, images, cams, depth_start,
-                           depth_interval, training=False,
-                           method=MVSNet.forward_3dcnn)
+        depth_map, prob_map = model.apply(
+            variables, images, cams, depth_start, depth_interval,
+            training=False, method=MVSNet.forward_3dcnn)
+        if cfg.refinement:
+            stereo = (images[:, 1] if (cfg.refine_with_stereo
+                                       and images.shape[1] > 1) else None)
+            refined, _ = model.apply(
+                variables, depth_map, images[:, 0], prob_map, depth_start,
+                depth_interval, stereo_image=stereo, training=False,
+                method=MVSNet.refine)
+            return refined, prob_map
+        return depth_map, prob_map
 
     return jax.jit(
         forward,

@@ -91,8 +91,7 @@ class Predictor:
         mcfg = self.mcfg
         model = self.model
 
-        if ((self.num_devices or 1) > 1 and mcfg.regularization == "3DCNN"
-                and not mcfg.refinement):
+        if (self.num_devices or 1) > 1 and mcfg.regularization == "3DCNN":
             from mvsnet_tpu.parallel.infer_step import make_sharded_forward  # noqa: PLC0415
             from mvsnet_tpu.parallel.mesh import factorize_devices, make_mesh  # noqa: PLC0415
             # inference batches are tiny (usually 1): keep the data axis at 1

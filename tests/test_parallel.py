@@ -200,3 +200,32 @@ def test_predictor_gru_multidevice_smoke():
         assert prob.shape[0] == 8 and np.isfinite(prob).all()
     finally:
         set_active_mesh(None)
+
+
+def test_predictor_refinement_multidevice_matches_single():
+    """Refined 3DCNN inference through the sharded path (both regimes):
+    must match the single-device Predictor."""
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu import predict as pl
+    import __graft_entry__ as ge
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      refinement=True, refinement_network="original")
+    try:
+        p1 = pl.Predictor(cfg, model_dir=None, num_devices=1)
+        p8 = pl.Predictor(cfg, model_dir=None, num_devices=8)
+        for batch in (8, 2):   # serving regime, then GSPMD latency regime
+            images, cams, _, _ = ge._tiny_batch(batch=batch)
+            ds = cams[:, 0, 1, 3, 0]
+            di = cams[:, 0, 1, 3, 1]
+            de = cams[:, 0, 1, 3, 3]
+            # same params on both predictors
+            p1.predict(images, cams, ds, di, de)
+            p8.variables = p1.variables
+            d1, pr1, _ = p1.predict(images, cams, ds, di, de)
+            d8, pr8, _ = p8.predict(images, cams, ds, di, de)
+            np.testing.assert_allclose(d1, d8, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(pr1, pr8, rtol=1e-5, atol=1e-5)
+    finally:
+        set_active_mesh(None)
