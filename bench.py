@@ -223,8 +223,12 @@ def main() -> int:
     import atexit  # noqa: PLC0415
     sentinel = "/tmp/mvsnet_bench_active"
     try:
-        with open(sentinel, "w") as f:
+        # atomic create: the runbook must never observe an empty sentinel
+        # (it treats PID-less files as stale and removes them)
+        tmp_path = f"{sentinel}.{os.getpid()}"
+        with open(tmp_path, "w") as f:
             f.write(str(os.getpid()))
+        os.replace(tmp_path, sentinel)
         atexit.register(lambda: os.path.exists(sentinel) and os.remove(sentinel))
     except OSError:
         pass

@@ -68,6 +68,31 @@ class _GRUStep(nn.Module):
         return states, reg.astype(jnp.float32)
 
 
+def apply_forward_3dcnn(model: "MVSNet", variables, images, cams,
+                        depth_start, depth_interval):
+    """Eval 3DCNN forward incl. optional refinement, shared by the
+    single-device and both multi-device inference paths (predict.py /
+    parallel/infer_step.py) so refinement dispatch — including the
+    stereo-view channel — cannot drift between them.
+
+    Returns (depth_or_refined, prob_map, residual); residual is zeros
+    when refinement is off (computed in-graph: callers are jitted and
+    eager ops on the remote backend are a round trip each)."""
+    cfg = model.cfg
+    depth_map, prob_map = model.apply(
+        variables, images, cams, depth_start, depth_interval,
+        training=False, method=MVSNet.forward_3dcnn)
+    if not cfg.refinement:
+        return depth_map, prob_map, jnp.zeros_like(depth_map)
+    stereo = (images[:, 1] if (cfg.refine_with_stereo and images.shape[1] > 1)
+              else None)
+    refined, residual = model.apply(
+        variables, depth_map, images[:, 0], prob_map, depth_start,
+        depth_interval, stereo_image=stereo, training=False,
+        method=MVSNet.refine)
+    return refined, prob_map, residual
+
+
 class MVSNet(nn.Module):
     """Flagship module bundling the feature tower + regularizers + refiner."""
 

@@ -13,16 +13,27 @@ kernel can't take fall back to the XLA gather warp with a logged warning
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from mvsnet_tpu.config import ModelConfig
 from mvsnet_tpu.models import MVSNet
+from mvsnet_tpu.models.mvsnet import apply_forward_3dcnn
 from mvsnet_tpu.parallel import mesh as mesh_lib
+
+
+def _pad_batch(xs, B: int, n: int):
+    """Pad every array's leading batch dim from B up to the next multiple
+    of n by repeating the last sample (sliced off by the caller)."""
+    pad = (-B) % n
+    return tuple(
+        jnp.concatenate([x] + [x[-1:]] * pad, axis=0) for x in xs)
 
 
 def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
     """Returns forward(variables, images, cams, depth_start, depth_interval)
-    jitted over `mesh`. Variables replicated; batch sharded over 'data'.
+    -> (depth_or_refined, prob_map, residual), jitted over `mesh`.
+    Variables replicated; batch sharded over 'data'.
 
     Two regimes, chosen statically per traced batch size:
 
@@ -37,6 +48,10 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
       constraints (XLA convs + the shard_map'ed sharded cost kernel) —
       slower per map than the Pallas pipeline but splits a single map's
       latency across chips.
+
+    Refinement (incl. the stereo channel) runs through the shared
+    apply_forward_3dcnn in both regimes, so multi-device results —
+    including the residual maps — match the single-device Predictor.
     """
     mesh_lib.set_active_mesh(mesh)
     repl = NamedSharding(mesh, PartitionSpec())
@@ -47,19 +62,8 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
 
     def local_forward(variables, images, cams, depth_start, depth_interval):
         with mesh_lib.shard_local():
-            depth_map, prob_map = model.apply(
-                variables, images, cams, depth_start, depth_interval,
-                training=False, method=MVSNet.forward_3dcnn)
-            if cfg.refinement:
-                # per-map refinement rides the same shard (no collectives)
-                stereo = (images[:, 1] if (cfg.refine_with_stereo
-                                           and images.shape[1] > 1) else None)
-                refined, _ = model.apply(
-                    variables, depth_map, images[:, 0], prob_map, depth_start,
-                    depth_interval, stereo_image=stereo, training=False,
-                    method=MVSNet.refine)
-                return refined, prob_map
-            return depth_map, prob_map
+            return apply_forward_3dcnn(model, variables, images, cams,
+                                       depth_start, depth_interval)
 
     def forward(variables, images, cams, depth_start, depth_interval):
         B = images.shape[0]
@@ -72,18 +76,8 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
                 in_specs=(PartitionSpec(),) + (batch_spec,) * 4,
                 out_specs=batch_spec, check_vma=False,
             )(variables, *xs)
-        depth_map, prob_map = model.apply(
-            variables, images, cams, depth_start, depth_interval,
-            training=False, method=MVSNet.forward_3dcnn)
-        if cfg.refinement:
-            stereo = (images[:, 1] if (cfg.refine_with_stereo
-                                       and images.shape[1] > 1) else None)
-            refined, _ = model.apply(
-                variables, depth_map, images[:, 0], prob_map, depth_start,
-                depth_interval, stereo_image=stereo, training=False,
-                method=MVSNet.refine)
-            return refined, prob_map
-        return depth_map, prob_map
+        return apply_forward_3dcnn(model, variables, images, cams,
+                                   depth_start, depth_interval)
 
     return jax.jit(
         forward,
@@ -92,13 +86,16 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
 
 
 def make_sharded_gru_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
-    """forward_gru_wta over `mesh` — throughput-serving regime only.
+    """forward_gru_wta over `mesh` — throughput-serving regime.
 
     The GRU depth scan is sequential (no latency-mode sharding of one
-    map), but maps are independent: when B divides the device count the
-    whole WTA decode runs per shard under shard_map with zero
-    collectives, like make_sharded_forward's serving branch. Other batch
-    shapes run unsharded (replicated inputs, one chip does the work)."""
+    map), but maps are independent: the whole WTA decode runs per shard
+    under shard_map with zero collectives, like make_sharded_forward's
+    serving branch. Batches NOT divisible by the device count are padded
+    up by repeating the last map and sliced back afterwards — every chip
+    runs the full single-chip Pallas/CW pipeline (a padded B=1 costs the
+    same wall-clock as one map on one chip; the spare chips burn a
+    duplicate instead of the whole batch dropping to XLA-under-GSPMD)."""
     mesh_lib.set_active_mesh(mesh)
     repl = NamedSharding(mesh, PartitionSpec())
     data_sharded = NamedSharding(mesh, PartitionSpec("data"))
@@ -114,18 +111,18 @@ def make_sharded_gru_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
 
     def forward(variables, images, cams, depth_start, depth_end):
         B = images.shape[0]
-        if n > 1 and B % n == 0:
-            xs = (images, cams, depth_start, depth_end)
+        xs = (images, cams, depth_start, depth_end)
+        if n > 1:
+            xs = _pad_batch(xs, B, n)
             xs = tuple(jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, batch_spec)) for x in xs)
-            return jax.shard_map(
+            depth_map, prob_map = jax.shard_map(
                 local_forward, mesh=mesh,
                 in_specs=(PartitionSpec(),) + (batch_spec,) * 4,
                 out_specs=batch_spec, check_vma=False,
             )(variables, *xs)
-        return model.apply(variables, images, cams, depth_start,
-                           depth_interval=None, depth_end=depth_end,
-                           method=MVSNet.forward_gru_wta)
+            return depth_map[:B], prob_map[:B]
+        return local_forward(variables, *xs)
 
     return jax.jit(
         forward,

@@ -103,8 +103,7 @@ class Predictor:
             sharded = make_sharded_forward(model, mcfg, mesh)
 
             def forward_sharded(variables, images, cams, ds, di, de):
-                depth_map, prob_map = sharded(variables, images, cams, ds, di)
-                return depth_map, prob_map, jnp.zeros_like(depth_map)
+                return sharded(variables, images, cams, ds, di)
 
             return forward_sharded
 
@@ -113,10 +112,11 @@ class Predictor:
             from mvsnet_tpu.parallel.mesh import make_mesh  # noqa: PLC0415
             mesh = make_mesh(self.num_devices)
             sharded_gru = make_sharded_gru_forward(model, mcfg, mesh)
+            zeros = jax.jit(jnp.zeros_like)
 
             def forward_sharded_gru(variables, images, cams, ds, di, de):
                 depth_map, prob_map = sharded_gru(variables, images, cams, ds, de)
-                return depth_map, prob_map, jnp.zeros_like(depth_map)
+                return depth_map, prob_map, zeros(depth_map)
 
             return forward_sharded_gru
 
@@ -128,16 +128,11 @@ class Predictor:
                     method=MVSNet.forward_gru_wta)
                 residual = jnp.zeros_like(depth_map)
                 return depth_map, prob_map, residual
-            depth_map, prob_map = model.apply(
-                variables, images, cams, depth_start, depth_interval,
-                training=False, method=MVSNet.forward_3dcnn)
-            if mcfg.refinement:
-                ref_image = images[:, 0]
-                refined, residual = model.apply(
-                    variables, depth_map, ref_image, prob_map, depth_start,
-                    depth_interval, training=False, method=MVSNet.refine)
-                return refined, prob_map, residual
-            return depth_map, prob_map, jnp.zeros_like(depth_map)
+            # shared with the multi-device paths (parallel/infer_step.py):
+            # refinement dispatch incl. the stereo channel cannot drift
+            from mvsnet_tpu.models.mvsnet import apply_forward_3dcnn  # noqa: PLC0415
+            return apply_forward_3dcnn(model, variables, images, cams,
+                                       depth_start, depth_interval)
 
         return jax.jit(forward)
 
@@ -270,8 +265,12 @@ class AsyncOutputWriter:
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
             self.close()
-        else:                                  # don't mask the main error
-            self._pool.shutdown(wait=False)
+        else:
+            # Don't mask the main error, and don't let queued writes run:
+            # each blocks on np.asarray of device results from a possibly
+            # wedged backend — without cancel_futures the interpreter's
+            # atexit join would hang the crashed process on them.
+            self._pool.shutdown(wait=False, cancel_futures=True)
         return False
 
 

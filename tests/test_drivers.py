@@ -175,7 +175,7 @@ def test_async_output_writer_overlaps_orders_and_raises():
     calls = []
 
     def slow_write(i):
-        _time.sleep(0.05)
+        _time.sleep(0.15)
         calls.append(i)
 
     w = AsyncOutputWriter(max_pending=2, write_fn=slow_write)
@@ -185,9 +185,10 @@ def test_async_output_writer_overlaps_orders_and_raises():
     enqueue_time = _time.time() - t0
     w.close()
     assert calls == [0, 1, 2, 3]
-    # 4 x 50ms of writes, but enqueueing only blocks past max_pending:
-    # strictly less than fully-serialized (0.2s) proves the overlap.
-    assert enqueue_time < 0.15, enqueue_time
+    # 4 x 150ms of writes; enqueueing only blocks past max_pending
+    # (expected ~0.3s). Strictly less than fully-serialized (0.6s)
+    # proves the overlap, with scheduler-jitter headroom.
+    assert enqueue_time < 0.45, enqueue_time
 
     def bad_write(_):
         raise RuntimeError("disk full")

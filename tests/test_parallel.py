@@ -211,7 +211,8 @@ def test_predictor_refinement_multidevice_matches_single():
 
     cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
                       network_mode="ultralite", compute_dtype="float32",
-                      refinement=True, refinement_network="original")
+                      refinement=True, refinement_network="original",
+                      refine_with_stereo=True)
     try:
         p1 = pl.Predictor(cfg, model_dir=None, num_devices=1)
         p8 = pl.Predictor(cfg, model_dir=None, num_devices=8)
@@ -223,9 +224,13 @@ def test_predictor_refinement_multidevice_matches_single():
             # same params on both predictors
             p1.predict(images, cams, ds, di, de)
             p8.variables = p1.variables
-            d1, pr1, _ = p1.predict(images, cams, ds, di, de)
-            d8, pr8, _ = p8.predict(images, cams, ds, di, de)
+            d1, pr1, r1 = p1.predict(images, cams, ds, di, de)
+            d8, pr8, r8 = p8.predict(images, cams, ds, di, de)
             np.testing.assert_allclose(d1, d8, rtol=1e-5, atol=1e-5)
             np.testing.assert_allclose(pr1, pr8, rtol=1e-5, atol=1e-5)
+            # residual maps are REAL (not the old zeros substitute) and
+            # identical across device counts, incl. the stereo channel
+            np.testing.assert_allclose(r1, r8, rtol=1e-4, atol=1e-3)
+            assert np.abs(r1).max() > 0, "refinement residual is all-zero"
     finally:
         set_active_mesh(None)

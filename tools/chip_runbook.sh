@@ -16,26 +16,43 @@ LOG="${1:-/tmp/chip_runbook.log}"
 cd "$(dirname "$0")/.."
 
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
+bench_active() { # driver bench.py running? (PID sentinel; stale = dead PID)
+  [ -e /tmp/mvsnet_bench_active ] || return 1
+  local bpid
+  bpid=$(cat /tmp/mvsnet_bench_active 2>/dev/null)
+  if [ -n "$bpid" ] && kill -0 "$bpid" 2>/dev/null; then
+    return 0
+  fi
+  rm -f /tmp/mvsnet_bench_active
+  return 1
+}
 run() { # run <timeout_s> <label> <cmd...>
   local t="$1" label="$2"; shift 2
-  # Yield to the round-end driver bench: bench.py touches this sentinel
-  # (containing its PID) while it runs — two concurrent chip benches
-  # corrupt both. A sentinel whose writer is dead (bench SIGKILLed) is
-  # stale and removed.
-  while [ -e /tmp/mvsnet_bench_active ]; do
-    local bpid
-    bpid=$(cat /tmp/mvsnet_bench_active 2>/dev/null)
-    if [ -n "$bpid" ] && kill -0 "$bpid" 2>/dev/null; then
-      say "WAIT $label (driver bench pid $bpid active)"; sleep 30
-    else
-      rm -f /tmp/mvsnet_bench_active; break
+  # Two concurrent chip benches corrupt both: yield to the round-end
+  # driver bench (bench.py writes a PID sentinel). If it appears while a
+  # step is mid-flight, kill THAT step's exact PID, wait, and rerun it.
+  while true; do
+    while bench_active; do
+      say "WAIT $label (driver bench active)"; sleep 30
+    done
+    say "START $label"
+    timeout "$t" "$@" >> "$LOG" 2>&1 &
+    local pid=$! rc=0 preempted=0
+    while kill -0 "$pid" 2>/dev/null; do
+      if bench_active; then
+        say "PREEMPT $label (driver bench arrived) — will rerun"
+        kill "$pid" 2>/dev/null
+        preempted=1
+      fi
+      sleep 15
+    done
+    wait "$pid"; rc=$?
+    if [ "$preempted" = 1 ]; then
+      continue
     fi
+    say "END $label rc=$rc"
+    return $rc
   done
-  say "START $label"
-  timeout "$t" "$@" >> "$LOG" 2>&1
-  local rc=$?
-  say "END $label rc=$rc"
-  return $rc
 }
 
 say "runbook begin"
