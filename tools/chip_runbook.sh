@@ -51,6 +51,13 @@ run() { # run <timeout_s> <label> <cmd...>
       continue
     fi
     say "END $label rc=$rc"
+    if [ "$rc" = 124 ]; then
+      # step timed out — if the tunnel died mid-queue, pause here instead
+      # of burning every later step's full timeout against a dead chip
+      while ! timeout 90 python tools/tunnel_probe.py >> "$LOG" 2>&1; do
+        say "tunnel down mid-runbook — waiting"; sleep 240
+      done
+    fi
     return $rc
   done
 }
