@@ -73,6 +73,20 @@ def cw_pipeline_enabled() -> bool:
     return mesh is None or mesh.devices.size == 1
 
 
+def cw_train_enabled() -> bool:
+    """Whether TRAINING graphs chain the 3D regularizer in CW layout too
+    (models/regnet.py): the conv custom-VJPs honor the layout contract
+    through the backward pass (ops/pallas/conv3d.py). MVSNET_TPU_CW_TRAIN
+    overrides (=0/=1); default follows cw_pipeline_enabled()."""
+    import os  # noqa: PLC0415
+    env = os.environ.get("MVSNET_TPU_CW_TRAIN")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return cw_pipeline_enabled()
+
+
 def _fold_affine(kernel, bias, post_scale, post_shift):
     """Fold a per-channel eval affine (a batch norm's scale/shift) into the
     conv kernel + a combined shift, for the fused Pallas epilogues."""
@@ -406,20 +420,21 @@ class _PallasConv3D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold and not (cw_in or cw_out):
+        if not fold:
+            # differentiable path (training) — the custom-VJP conv honors
+            # the CW layout contract through the backward pass
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 k = kernel.astype(self.dtype)
-            y = rowconv3d(x, k, self.stride)
+            y = rowconv3d(x, k, self.stride, cw_in=cw_in, cw_out=cw_out)
             if bias is not None:
-                y = y + bias.astype(y.dtype)
+                b = bias.astype(y.dtype)
+                y = y + (b[:, None] if cw_out else b)
             return y
         # eval-only fused path: fold the per-channel scale into the f32
         # kernel, combine shifts, and ride bias+ReLU on the Pallas
-        # epilogue (zero extra HBM passes). Not differentiable. The CW
-        # pipeline (layout-chained eval convs) also lands here even with
-        # no affine to fold.
+        # epilogue (zero extra HBM passes). Not differentiable.
         k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -625,14 +640,17 @@ class _PallasDeconv3D(nn.Module):
                               (self.features,), jnp.float32)
         fold = (post_scale is not None or post_shift is not None
                 or post_relu)
-        if not fold and not (cw_in or cw_out):
+        if not fold:
+            # differentiable path (training), CW contract honored (see
+            # _PallasConv3D)
             k = kernel
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 k = kernel.astype(self.dtype)
-            y = rowdeconv3d(x, k)
+            y = rowdeconv3d(x, k, cw_in=cw_in, cw_out=cw_out)
             if bias is not None:
-                y = y + bias.astype(y.dtype)
+                b = bias.astype(y.dtype)
+                y = y + (b[:, None] if cw_out else b)
             return y
         # eval-only fused path (folded batch norm), mirrors _PallasConv3D
         k, shift = _fold_affine(kernel, bias, post_scale, post_shift)
@@ -868,7 +886,10 @@ class BatchNormRef(nn.Module):
     momentum: float = 0.99
 
     @nn.compact
-    def __call__(self, x, training: bool):
+    def __call__(self, x, training: bool, cw: bool = False):
+        # cw: x is channel-second-minor (…, C, W) — normalize feature
+        # axis -2 in place (params/batch_stats stay (C,), so checkpoints
+        # are layout-independent).
         return nn.BatchNorm(
             use_running_average=not training,
             momentum=self.momentum,
@@ -877,6 +898,7 @@ class BatchNormRef(nn.Module):
             use_scale=self.scale,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            axis=-2 if cw else -1,
         )(x)
 
 
@@ -1017,13 +1039,14 @@ class ConvBN(nn.Module):
             scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
             return conv(x, post_scale=scale, post_shift=shift,
                         post_relu=self.relu, cw_in=cw_in, cw_out=cw_out)
-        if cw_in:
-            x = _swap_cw(x)
-        y = conv(x)
-        y = bn(y, training)
+        # training: the differentiable conv + the batch norm both run
+        # CW-native (feature axis -2), so the chain stays relayout-free
+        # through fwd AND bwd (the conv custom-VJPs honor the contract)
+        y = conv(x, cw_in=cw_in, cw_out=cw_out)
+        y = bn(y, training, cw=cw_out)
         if self.relu:
             y = nn.relu(y)
-        return _swap_cw(y) if cw_out else y
+        return y
 
 
 class DeconvBN(nn.Module):
@@ -1047,10 +1070,9 @@ class DeconvBN(nn.Module):
             scale, shift = _bn_affine_probe(bn, x.ndim, self.filters)
             return deconv(x, post_scale=scale, post_shift=shift,
                           post_relu=self.relu, cw_in=cw_in, cw_out=cw_out)
-        if cw_in:
-            x = _swap_cw(x)
-        y = deconv(x)
-        y = bn(y, training)
+        # training: CW-native chain, see ConvBN
+        y = deconv(x, cw_in=cw_in, cw_out=cw_out)
+        y = bn(y, training, cw=cw_out)
         if self.relu:
             y = nn.relu(y)
-        return _swap_cw(y) if cw_out else y
+        return y

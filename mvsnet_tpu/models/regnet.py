@@ -23,6 +23,7 @@ from mvsnet_tpu.models.layers import (
     ConvBN,
     DeconvBN,
     cw_pipeline_enabled,
+    cw_train_enabled,
 )
 
 
@@ -43,15 +44,18 @@ class RegNetUS0(nn.Module):
         if d is not None:
             x = x.astype(d)
 
-        # Eval-only CW pipeline: chain every layer in the Pallas kernels'
+        # CW pipeline: chain every layer in the Pallas kernels'
         # channel-second-minor layout — zero NDHWC relayouts between
         # layers (each layer otherwise pays up to two; additive skips are
         # layout-agnostic). Layers that fall back to XLA transpose at
-        # their own edges, so numerics are layout-independent.
-        cw = (not training) and cw_pipeline_enabled()
-        if x_cw and not cw:
+        # their own edges, so numerics are layout-independent. Training
+        # chains CW too (cw_train_enabled): the conv custom-VJPs honor
+        # the layout contract through the backward pass, and the batch
+        # norms normalize feature axis -2 in place.
+        cw = (cw_train_enabled() if training else cw_pipeline_enabled())
+        if x_cw != cw:
             x = jnp.swapaxes(x, -1, -2)
-        in_cw = x_cw and cw
+        in_cw = cw
 
         # encoder (stride-2 chain over (D, H, W))
         c1_0 = ConvBN(b * 2, 3, 2, name="3dconv1_0", dtype=d)(

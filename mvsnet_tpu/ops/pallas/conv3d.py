@@ -489,61 +489,89 @@ def _xla_conv3d(x, kernel, stride: int = 1):
                                         dimension_numbers=dn)
 
 
-@jax.custom_vjp
-def _rowconv3d_s1(x, kernel):
-    return _rowconv3d_fwd_impl(x, kernel, stride=1, interpret=_auto_interpret())
+def _swap_cw(x):
+    return jnp.swapaxes(x, -1, -2)
 
 
-def _s1_vjp_fwd(x, kernel):
-    out = _rowconv3d_fwd_impl(x, kernel, stride=1, interpret=_auto_interpret())
-    return out, (x, kernel)
+@functools.lru_cache(maxsize=None)
+def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
+    """Differentiable s1 conv for a fixed (cw_in, cw_out) layout contract.
+
+    The layout flags are baked into a cached custom_vjp (they're static):
+    dx runs the SAME Pallas kernel with the flipped filter and the layout
+    contract transposed (cotangents arrive in the output layout, dx must
+    leave in the input layout); dk uses XLA's wgrad on NDHWC views (XLA
+    fuses the swaps into its conv)."""
+
+    @jax.custom_vjp
+    def f(x, kernel):
+        return _rowconv3d_fwd_impl(x, kernel, stride=1,
+                                   interpret=_auto_interpret(),
+                                   cw_in=cw_in, cw_out=cw_out)
+
+    def fwd(x, kernel):
+        return f(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        g = g.astype(x.dtype)
+        # the conv is linear: dx is the same kernel run with the flipped
+        # filter, in the transposed layout contract
+        dx = _rowconv3d_fwd_impl(g, _flip(kernel), stride=1,
+                                 interpret=_auto_interpret(),
+                                 cw_in=cw_out, cw_out=cw_in)
+        x_n = _swap_cw(x) if cw_in else x
+        g_n = _swap_cw(g) if cw_out else g
+        _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 1), kernel)
+        (dk,) = wgrad(g_n)
+        return dx, dk
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-def _s1_vjp_bwd(res, g):
-    x, kernel = res
-    g = g.astype(x.dtype)
-    # the conv is linear: dx is the same kernel run with the flipped filter
-    dx = _rowconv3d_fwd_impl(g, _flip(kernel), stride=1,
-                               interpret=_auto_interpret())
-    _, wgrad = jax.vjp(lambda k: _xla_conv3d(x, k, 1), kernel)
-    (dk,) = wgrad(g)
-    return dx, dk
+@functools.lru_cache(maxsize=None)
+def _make_rowconv3d_s2(cw_in: bool, cw_out: bool):
+    """Differentiable s2 conv for a fixed layout contract (see s1); the
+    whole backward runs XLA's native conv grads on NDHWC views."""
+
+    @jax.custom_vjp
+    def f(x, kernel):
+        return _rowconv3d_fwd_impl(x, kernel, stride=2,
+                                   interpret=_auto_interpret(),
+                                   cw_in=cw_in, cw_out=cw_out)
+
+    def fwd(x, kernel):
+        return f(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        x_n = _swap_cw(x) if cw_in else x
+        g_n = _swap_cw(g) if cw_out else g
+        _, grad = jax.vjp(lambda a, k: _xla_conv3d(a, k, 2), x_n, kernel)
+        dx_n, dk = grad(g_n.astype(x.dtype))
+        dx = _swap_cw(dx_n) if cw_in else dx_n
+        return dx, dk
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-_rowconv3d_s1.defvjp(_s1_vjp_fwd, _s1_vjp_bwd)
-
-
-@jax.custom_vjp
-def _rowconv3d_s2(x, kernel):
-    return _rowconv3d_fwd_impl(x, kernel, stride=2, interpret=_auto_interpret())
-
-
-def _s2_vjp_fwd(x, kernel):
-    out = _rowconv3d_fwd_impl(x, kernel, stride=2, interpret=_auto_interpret())
-    return out, (x, kernel)
-
-
-def _s2_vjp_bwd(res, g):
-    x, kernel = res
-    _, grad = jax.vjp(lambda a, k: _xla_conv3d(a, k, 2), x, kernel)
-    return grad(g.astype(x.dtype))
-
-
-_rowconv3d_s2.defvjp(_s2_vjp_fwd, _s2_vjp_bwd)
-
-
-def rowconv3d(x, kernel, stride: int = 1):
+def rowconv3d(x, kernel, stride: int = 1, cw_in: bool = False,
+              cw_out: bool = False):
     """SAME 3x3x3 conv, stride 1 or 2, (B, D, H, W, Cin) @ (3,3,3,Cin,Cout).
 
     Drop-in for lax.conv_general_dilated(..., (s,s,s), 'SAME') with
     NDHWC/DHWIO. Differentiable: at stride 1, dx runs the same kernel with
     the flipped/transposed filter; dk (and the whole stride-2 backward)
-    uses XLA's native conv grads.
+    uses XLA's native conv grads. cw_in/cw_out: channel-second-minor
+    (B, D, H, C, W) input/output — the training CW pipeline
+    (models/regnet.py); gradients honor the same layout contract.
     """
     if stride == 1:
-        return _rowconv3d_s1(x, kernel)
+        return _make_rowconv3d_s1(cw_in, cw_out)(x, kernel)
     assert stride == 2, stride
-    return _rowconv3d_s2(x, kernel)
+    return _make_rowconv3d_s2(cw_in, cw_out)(x, kernel)
 
 
 def rowconv3d_fused(x, kernel, bias=None, relu: bool = False,

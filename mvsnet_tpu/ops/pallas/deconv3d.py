@@ -231,49 +231,68 @@ def _xla_deconv3d(x, kernel):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-@jax.custom_vjp
-def _rowdeconv3d(x, kernel):
-    return _rowdeconv3d_fwd_impl(x, kernel, interpret=_auto_interpret())
+def _swap_cw(x):
+    return jnp.swapaxes(x, -1, -2)
 
 
-def _vjp_fwd(x, kernel):
-    return _rowdeconv3d_fwd_impl(x, kernel, interpret=_auto_interpret()), \
-        (x, kernel)
+@functools.lru_cache(maxsize=None)
+def _make_rowdeconv3d(cw_in: bool, cw_out: bool):
+    """Differentiable deconv for a fixed (cw_in, cw_out) layout contract
+    (see conv3d._make_rowconv3d_s1): dx runs the stride-2 Pallas forward
+    conv with the flipped filter in the transposed contract; dk uses
+    XLA's transpose-conv grad on NDHWC views."""
+
+    @jax.custom_vjp
+    def f(x, kernel):
+        return _rowdeconv3d_fwd_impl(x, kernel, interpret=_auto_interpret(),
+                                     cw_in=cw_in, cw_out=cw_out)
+
+    def fwd(x, kernel):
+        return f(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
+            _rowconv3d_fwd_impl, rowconv3d_supported)
+        x, kernel = res
+        g = g.astype(x.dtype)
+        q = _conv_grad_kernel(kernel).astype(x.dtype)
+        if cw_out:
+            gD, gH, gW = g.shape[1], g.shape[2], g.shape[4]
+        else:
+            gD, gH, gW = g.shape[1], g.shape[2], g.shape[3]
+        if rowconv3d_supported(gD, gH, gW, q.shape[3], q.shape[4], g.dtype) \
+                and gD % 2 == 0 and gH % 2 == 0 and gW % 2 == 0:
+            dx = _rowconv3d_fwd_impl(g, q, stride=2,
+                                     interpret=_auto_interpret(),
+                                     cw_in=cw_out, cw_out=cw_in)
+        else:
+            g_n = _swap_cw(g) if cw_out else g
+            dn = jax.lax.conv_dimension_numbers(g_n.shape, q.shape,
+                                                ("NDHWC", "DHWIO", "NDHWC"))
+            dx = jax.lax.conv_general_dilated(g_n, q, (2, 2, 2), "SAME",
+                                              dimension_numbers=dn)
+            if cw_in:
+                dx = _swap_cw(dx)
+        x_n = _swap_cw(x) if cw_in else x
+        g_n = _swap_cw(g) if cw_out else g
+        _, wgrad = jax.vjp(lambda k: _xla_deconv3d(x_n, k), kernel)
+        (dk,) = wgrad(g_n)
+        return dx, dk
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-def _vjp_bwd(res, g):
-    from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
-        _rowconv3d_fwd_impl, rowconv3d_supported)
-    x, kernel = res
-    g = g.astype(x.dtype)
-    q = _conv_grad_kernel(kernel).astype(x.dtype)
-    gD, gH, gW = g.shape[1], g.shape[2], g.shape[3]
-    if rowconv3d_supported(gD, gH, gW, q.shape[3], q.shape[4], g.dtype) \
-            and gD % 2 == 0 and gH % 2 == 0 and gW % 2 == 0:
-        dx = _rowconv3d_fwd_impl(g, q, stride=2,
-                                 interpret=_auto_interpret())
-    else:
-        dn = jax.lax.conv_dimension_numbers(g.shape, q.shape,
-                                            ("NDHWC", "DHWIO", "NDHWC"))
-        dx = jax.lax.conv_general_dilated(g, q, (2, 2, 2), "SAME",
-                                          dimension_numbers=dn)
-    _, wgrad = jax.vjp(lambda k: _xla_deconv3d(x, k), kernel)
-    (dk,) = wgrad(g)
-    return dx, dk
-
-
-_rowdeconv3d.defvjp(_vjp_fwd, _vjp_bwd)
-
-
-def rowdeconv3d(x, kernel):
+def rowdeconv3d(x, kernel, cw_in: bool = False, cw_out: bool = False):
     """SAME 3x3x3 stride-2 transposed conv, (B,D,H,W,Cin) @ (3,3,3,Cin,Cout).
 
     Drop-in for flax nn.ConvTranspose(k=3, s=2, padding='SAME') /
     lax.conv_transpose. Differentiable: dx runs the existing stride-2
     Pallas forward conv (ops/pallas/conv3d.py) with the flipped/transposed
-    filter; dk uses XLA's native transpose-conv grad.
+    filter; dk uses XLA's native transpose-conv grad. cw_in/cw_out:
+    channel-second-minor layout contract, honored by the gradients.
     """
-    return _rowdeconv3d(x, kernel)
+    return _make_rowdeconv3d(cw_in, cw_out)(x, kernel)
 
 
 def rowdeconv3d_fused(x, kernel, bias=None, relu: bool = False,

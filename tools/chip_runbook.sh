@@ -82,6 +82,8 @@ run 3600 bench_gru python bench.py --metric gru
 # Same window: GRU CW A/B (CW scan states + cost handoff vs NDHWC)
 run 2400 bench_gru_nocw env MVSNET_TPU_CW=0 python bench.py --metric gru
 run 3600 bench_train python bench.py --metric train
+# Same window: training CW A/B (CW custom-VJP regnet chain vs NDHWC)
+run 2400 bench_train_nocw env MVSNET_TPU_CW_TRAIN=0 python bench.py --metric train
 
 # 2. Same-window knob A/Bs: with two straight-line blocks, smaller BAND
 #    = 25% less MXU work if spans fit 2*BAND-1
