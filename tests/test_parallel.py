@@ -234,3 +234,36 @@ def test_predictor_refinement_multidevice_matches_single():
             assert np.abs(r1).max() > 0, "refinement residual is all-zero"
     finally:
         set_active_mesh(None)
+
+
+def test_sharded_gru_train_matches_single_device():
+    """GRU (classification) train step sharded over the 8-device mesh ==
+    single-device: the sequential depth scan composes with GSPMD batch/
+    space sharding."""
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.train_step import make_sharded_train_step, shard_state
+    import __graft_entry__ as ge
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode="ultralite", compute_dtype="float32",
+                      regularization="GRU")
+    tcfg = TrainConfig(optimizer="adam", base_lr=1e-3)
+    model = MVSNet(cfg)
+    batch = ge._tiny_batch(batch=2)
+    state = train_lib.create_train_state(model, cfg, tcfg,
+                                         jax.random.PRNGKey(0), batch)
+
+    single_step = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+    _, m_single = single_step(state, batch)
+
+    step_fn, mesh = make_sharded_train_step(model, cfg, tcfg, n_devices=8,
+                                            donate=False)
+    try:
+        sharded_state = shard_state(state, mesh)
+        _, m_sharded = step_fn(sharded_state, batch)
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_sharded["loss"]), rtol=2e-4)
+    finally:
+        set_active_mesh(None)
