@@ -222,20 +222,25 @@ def main() -> int:
     # pause between its steps: two chip benches at once corrupt both.
     import atexit  # noqa: PLC0415
     sentinel = "/tmp/mvsnet_bench_active"
-    try:
-        # atomic create: the runbook must never observe an empty sentinel
-        # (it treats PID-less files as stale and removes them)
-        tmp_path = f"{sentinel}.{os.getpid()}"
-        with open(tmp_path, "w") as f:
-            f.write(str(os.getpid()))
-        os.replace(tmp_path, sentinel)
-        atexit.register(lambda: os.path.exists(sentinel) and os.remove(sentinel))
-    except OSError:
-        pass
+    # When invoked BY the runbook itself, the sentinel would make the
+    # runbook preempt its own step forever — skip it.
+    own_sentinel = os.environ.get("MVSNET_BENCH_NO_SENTINEL") != "1"
+    if own_sentinel:
+        try:
+            # atomic create: the runbook must never observe an empty sentinel
+            # (it treats PID-less files as stale and removes them)
+            tmp_path = f"{sentinel}.{os.getpid()}"
+            with open(tmp_path, "w") as f:
+                f.write(str(os.getpid()))
+            os.replace(tmp_path, sentinel)
+            atexit.register(
+                lambda: os.path.exists(sentinel) and os.remove(sentinel))
+        except OSError:
+            pass
     if not _probe_chip():
         print("bench.py: TPU tunnel unresponsive (probe timed out) — "
               "no measurement possible", file=sys.stderr, flush=True)
-        if os.path.exists(sentinel):       # os._exit skips atexit hooks
+        if own_sentinel and os.path.exists(sentinel):  # os._exit skips atexit
             os.remove(sentinel)
         os._exit(2)
     fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]

@@ -14,6 +14,13 @@
 set -u
 LOG="${1:-/tmp/chip_runbook.log}"
 cd "$(dirname "$0")/.."
+# The package is not pip-installed in this container; tools/*.py run with
+# tools/ (not the repo root) on sys.path.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# Our own bench.py steps must NOT write the driver-bench sentinel — the
+# queue would preempt itself forever. The real driver bench still writes
+# it (env unset there) and still preempts us.
+export MVSNET_BENCH_NO_SENTINEL=1
 
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 bench_active() { # driver bench.py running? (PID sentinel; stale = dead PID)
@@ -68,7 +75,6 @@ run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exi
 # 0. New-kernel validation: sweep numerics on chip + featnet (exercises
 #    carry/s2/5x5/packed 2D convs and the Pallas deconvs end-to-end)
 run 2400 sweep_3dcnn python tools/bench_sweep.py --skip-warp
-run 3600 featnet python tools/bench_featnet.py --full
 
 # 1. Headline benches, back-to-back in one window
 run 3600 bench_3dcnn python bench.py --metric 3dcnn
@@ -84,6 +90,7 @@ run 2400 bench_gru_nocw env MVSNET_TPU_CW=0 python bench.py --metric gru
 run 3600 bench_train python bench.py --metric train
 # Same window: training CW A/B (CW custom-VJP regnet chain vs NDHWC)
 run 2400 bench_train_nocw env MVSNET_TPU_CW_TRAIN=0 python bench.py --metric train
+run 3600 featnet python tools/bench_featnet.py --full
 
 # 2. Same-window knob A/Bs: with two straight-line blocks, smaller BAND
 #    = 25% less MXU work if spans fit 2*BAND-1
