@@ -40,6 +40,15 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
     finishes output row j-1 per iteration — no (H+2)-row staging scratch,
     no 3x read-modify-write accumulation, no final staging→out copy (the
     same structure as the deconv kernels' p_prev carry, deconv3d.py).
+
+    Mosaic constraint (round-3 chip bisect, tools/bisect_carry2d.py):
+    initializing a fori carry that gets STRIDED-SLICED in the loop body
+    with a `jnp.zeros` splat constant SIGABRTs ApplyVectorLayoutPass
+    ("limits[i] <= dim(i) (4 vs 1)") when W is not a multiple of 128 —
+    the constant's layout can't reconcile with the sliced use on the
+    backedge. Deriving the zero init from a real tap result (variant G,
+    chip-validated) gives the init the body's layout; conv3d.py's kernels
+    always did this, which is why they never crashed.
     """
 
     def kernel(x_ref, w_ref, *rest):
@@ -51,7 +60,6 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
         else:
             (out_ref,), b_ref = rest, None
         w = w_ref[...]
-        zP = jnp.zeros((3 * Cout, W), jnp.float32)
 
         def tap(j):
             x = x_ref[0, pl.ds(j, 1)].reshape(C, W)
@@ -84,6 +92,9 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
 
             return (p_cur, p_prev)
 
+        # P(-1) = P(-2) = 0, derived from a live tap so the init carries
+        # the body's vector layout (see docstring; NOT jnp.zeros)
+        zP = tap(0) * 0.0
         p_last, p_last2 = jax.lax.fori_loop(0, H, row, (zP, zP))
         # bottom row: source row H would be zero padding
         out_ref[0, pl.ds(H - 1, 1)] = emit(
@@ -158,8 +169,11 @@ def _make_kernel2d_packed(H: int, W: int, C: int, Cout: int, PACK: int,
             out_ref[0, pl.ds(t, 1)] = emit(up + blk(p_cur, 1) + dn)[None]
             return p_cur, p_next
 
-        p0 = jnp.zeros((3 * Cout, WP), jnp.float32)
-        jax.lax.fori_loop(0, HP, row, (p0, tap(0)))
+        # P(-1) = 0 derived from a live tap, NOT a jnp.zeros splat: a
+        # zeros-const init for a carry that gets strided-sliced in the
+        # body crashes Mosaic at WP % 128 != 0 (see _make_kernel2d_carry)
+        t0 = tap(0)
+        jax.lax.fori_loop(0, HP, row, (t0 * 0.0, t0))
 
     return kernel
 
@@ -272,6 +286,8 @@ def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int, K: int = 3,
             out_ref[0, pl.ds(t, 1)] = emit(v)[None]
             return ps[2:]
 
+        # carry inits are live tap results (NOT jnp.zeros splats) — safe
+        # against the sliced-carry layout crash (see _make_kernel2d_carry)
         init = tuple(tap(i) for i in range(K - 2))
         jax.lax.fori_loop(0, TB, row, init)
 

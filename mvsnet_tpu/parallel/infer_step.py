@@ -79,10 +79,18 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
         return apply_forward_3dcnn(model, variables, images, cams,
                                    depth_start, depth_interval)
 
-    return jax.jit(
-        forward,
-        in_shardings=(repl, data_sharded, data_sharded, data_sharded, data_sharded),
-    )
+    def jitted(variables, images, cams, depth_start, depth_interval):
+        # in_shardings chosen per traced batch: B=1 / non-divisible batches
+        # (latency regime) can't satisfy a 'data'-sharded input spec — they
+        # stay replicated and the in-model constraints shard the volume.
+        B = images.shape[0]
+        x_shard = data_sharded if B % mesh.shape["data"] == 0 else repl
+        return jax.jit(
+            forward,
+            in_shardings=(repl, x_shard, x_shard, x_shard, x_shard),
+        )(variables, images, cams, depth_start, depth_interval)
+
+    return jitted
 
 
 def make_sharded_gru_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):

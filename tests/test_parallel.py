@@ -236,6 +236,70 @@ def test_predictor_refinement_multidevice_matches_single():
         set_active_mesh(None)
 
 
+def test_sharded_realistic_shape_matches_single_device():
+    """Non-toy shapes over the full {data:2, depth:2, space:2} mesh: at
+    320x256xD32 normal mode the space-sharded 3D U-Net's halo exchanges
+    and the collective softmax along sharded D are non-trivial relative to
+    the block (the 64x64xD8 ultralite dryrun can hide halo bugs — VERDICT
+    r2 #6). Forward (latency regime, B=1) AND train step (B=2) must match
+    single-device to fp32 tolerance."""
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.models import MVSNet
+    from mvsnet_tpu.parallel.infer_step import make_sharded_forward
+    from mvsnet_tpu.parallel.train_step import make_sharded_train_step, shard_state
+    from jax.sharding import NamedSharding, PartitionSpec
+    import __graft_entry__ as ge
+
+    cfg = ModelConfig(view_num=3, max_d=32, width=320, height=256,
+                      network_mode="normal", compute_dtype="float32",
+                      depth_chunk=32)
+    model = MVSNet(cfg)
+
+    # --- forward, latency regime (B=1 on 8 devices => GSPMD sharded volume)
+    images, cams, _, _ = ge._tiny_batch(batch=1, height=256, width=320,
+                                        depth_num=32)
+    ds = cams[:, 0, 1, 3, 0]
+    di = cams[:, 0, 1, 3, 1]
+    variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                           training=False, method=MVSNet.forward_3dcnn)
+    single = model.apply(variables, images, cams, ds, di, training=False,
+                         method=MVSNet.forward_3dcnn)
+
+    mesh = make_mesh(8)
+    try:
+        fwd = make_sharded_forward(model, cfg, mesh)
+        repl = NamedSharding(mesh, PartitionSpec())
+        sharded = fwd(jax.device_put(variables, repl), images, cams, ds, di)
+        np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(single[1]), np.asarray(sharded[1]),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        set_active_mesh(None)
+
+    # --- train step at the same shape (data=2 batch split + sharded volume)
+    tcfg = TrainConfig(optimizer="adam", base_lr=1e-3, loss_type="original",
+                       grad_loss=False)
+    batch = ge._tiny_batch(batch=2, height=256, width=320, depth_num=32)
+    state = train_lib.create_train_state(model, cfg, tcfg,
+                                         jax.random.PRNGKey(0), batch)
+    single_step = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+    _, m_single = single_step(state, batch)
+
+    step_fn, mesh = make_sharded_train_step(model, cfg, tcfg, n_devices=8,
+                                            donate=False)
+    try:
+        sharded_state = shard_state(state, mesh)
+        _, m_sharded = step_fn(sharded_state, batch)
+        np.testing.assert_allclose(float(m_single["loss"]),
+                                   float(m_sharded["loss"]), rtol=5e-4)
+        np.testing.assert_allclose(float(m_single["less_three"]),
+                                   float(m_sharded["less_three"]), atol=5e-3)
+    finally:
+        set_active_mesh(None)
+
+
 def test_sharded_gru_train_matches_single_device():
     """GRU (classification) train step sharded over the 8-device mesh ==
     single-device: the sequential depth scan composes with GSPMD batch/

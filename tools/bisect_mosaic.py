@@ -15,8 +15,11 @@ Usage: python tools/bisect_mosaic.py [--w 1152] [--case NAME]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -46,7 +49,10 @@ def main() -> int:
             print(f"PASS  {name}", flush=True)
         except Exception as e:  # noqa: BLE001
             head = str(e).splitlines()[0][:160]
-            crash = "SIGABRT" in str(e) or "Check failed" in str(e)
+            s = str(e)
+            crash = any(m in s for m in (
+                "SIGABRT", "Check failed", "INTERNAL", "500",
+                "ApplyVectorLayoutPass"))
             results[name] = "CRASH" if crash else f"fail: {head}"
             print(f"{'CRASH' if crash else 'FAIL'}  {name}: {head}",
                   flush=True)
@@ -54,13 +60,24 @@ def main() -> int:
                 traceback.print_exc(limit=2)
 
     def bf(shape):
-        return jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        # host numpy: never touches the (remote) device — lower() accepts it
+        return rng.standard_normal(shape).astype(jnp.bfloat16)
+
+    def host_init(m, x):
+        # eager Module.init on the remote-TPU backend = one remote compile
+        # PER OP (minutes/case); eval_shape traces host-side in µs and the
+        # param VALUES are irrelevant for a compile-only probe.
+        shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+        return jax.tree.map(
+            lambda s: np.ones(s.shape, s.dtype)
+            if s.dtype != np.uint32 else np.zeros(s.shape, s.dtype),
+            shapes)
 
     def conv2d_case(name, div, cin, cout, k, s, gn=True):
         h, w = H // div, W // div
         x = bf((1, h, w, cin))
         m = (ConvGN if gn else Conv)(cout, k, s, dtype="bfloat16")
-        v = m.init(jax.random.PRNGKey(0), x)
+        v = host_init(m, x)
         probe(name, lambda xx: m.apply(v, xx).astype(jnp.float32), x)
 
     # --- 2D eval-path kernels, suspicion order ------------------------
@@ -74,7 +91,7 @@ def main() -> int:
         h, w = H // div, W // div
         x = bf((1, h, w, cin))
         m = Deconv(cout, 3, 2, dtype="bfloat16")
-        v = m.init(jax.random.PRNGKey(0), x)
+        v = host_init(m, x)
         probe(name, lambda xx: m.apply(v, xx).astype(jnp.float32), x)
 
     deconv2d_case("2d_deconv_128to64", 16, 128, 64)
@@ -87,6 +104,19 @@ def main() -> int:
     conv2d_case("2d_carry_32to32_quarter", 4, 32, 32, 3, 1)
     conv2d_case("2d_carry_64to64_eighth", 8, 64, 64, 3, 1)
 
+    # GRU operating point: W/4 = 400 (1600-wide input) — every lane count
+    # here is a NON-multiple of 128 (packed WP = 1600), the regime where
+    # the sliced-carry/zeros-init Mosaic crash bit (bisect_carry2d.py)
+    def gru_cell_conv(name, w4, cin, cout):
+        x = bf((1, H // 4, w4, cin))
+        m = Conv(cout, 3, 1, relu=False, use_bias=True, dtype="bfloat16")
+        v = host_init(m, x)
+        probe(name, lambda xx: m.apply(v, xx).astype(jnp.float32), x)
+
+    gru_cell_conv("2d_gru_gates_32to32_w400", 400, 32, 32)
+    gru_cell_conv("2d_gru_cell_16to4_w400", 400, 16, 4)
+    gru_cell_conv("2d_gru_prob_2to1_w400", 400, 2, 1)
+
     # --- 3D regularizer kernels (both layouts) ------------------------
     from mvsnet_tpu.ops.pallas.conv3d import rowconv3d_fused
     from mvsnet_tpu.ops.pallas.deconv3d import rowdeconv3d_fused
@@ -96,7 +126,7 @@ def main() -> int:
     def conv3d_case(name, cin, cout, stride, cw):
         x = bf((1, D, h3, w3, cin) if not cw else (1, D, h3, cin, w3))
         k = bf((3, 3, 3, cin, cout))
-        b = jnp.zeros((cout,), jnp.float32)
+        b = np.zeros((cout,), np.float32)
         probe(name, lambda xx: rowconv3d_fused(
             xx, k, b, relu=True, stride=stride, cw_in=cw, cw_out=cw
         ).astype(jnp.float32), x)
@@ -104,7 +134,7 @@ def main() -> int:
     def deconv3d_case(name, cin, cout, cw):
         x = bf((1, D, h3, w3, cin) if not cw else (1, D, h3, cin, w3))
         k = bf((3, 3, 3, cin, cout))
-        b = jnp.zeros((cout,), jnp.float32)
+        b = np.zeros((cout,), np.float32)
         probe(name, lambda xx: rowdeconv3d_fused(
             xx, k, b, relu=True, cw_in=cw, cw_out=cw
         ).astype(jnp.float32), x)
@@ -119,8 +149,8 @@ def main() -> int:
 
     bad = {k: v for k, v in results.items() if v != "ok"}
     print("SUMMARY", bad if bad else "all green")
-    return 0
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

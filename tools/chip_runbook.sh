@@ -12,8 +12,9 @@
 #
 # Usage: bash tools/chip_runbook.sh [logfile]
 set -u
-LOG="${1:-/tmp/chip_runbook.log}"
 cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+LOG="${1:-bench_logs/chip_runbook.log}"
 # The package is not pip-installed in this container; tools/*.py run with
 # tools/ (not the repo root) on sys.path.
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
@@ -72,8 +73,13 @@ run() { # run <timeout_s> <label> <cmd...>
 say "runbook begin"
 run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exit 1; }
 
-# 0. New-kernel validation: sweep numerics on chip + featnet (exercises
-#    carry/s2/5x5/packed 2D convs and the Pallas deconvs end-to-end)
+# 0. Kernel smoke: compile-probe EVERY Pallas conv/deconv family at one
+#    real shape (catches Mosaic lowering crashes per-kernel, before any
+#    headline run can die to one), then sweep numerics on chip. A
+#    non-zero rc here means a kernel family is broken on chip — the
+#    headline benches will fall back, and the smoke log names the
+#    culprit.
+run 3600 kernel_smoke python tools/bisect_mosaic.py
 run 2400 sweep_3dcnn python tools/bench_sweep.py --skip-warp
 
 # 1. Headline benches, back-to-back in one window
