@@ -39,6 +39,7 @@ layer_norm is used instead — variables `Gates/LayerNorm[_1]/{gamma,beta}`
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -176,3 +177,51 @@ def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
     reader = tf.train.load_checkpoint(path)  # pragma: no cover
     return {name: reader.get_tensor(name)  # pragma: no cover
             for name in reader.get_variable_to_shape_map()}
+
+
+def import_checkpoint(ckpt_path: str, model_dir: str,
+                      regularization: str = "3DCNN",
+                      network_mode: str = "normal",
+                      strict: bool = True) -> str:
+    """One-call import: TF checkpoint (Saver prefix / .npz) -> orbax model
+    dir loadable by Predictor/test/infer (--model_dir).
+
+    Params are shape-independent of the operating point, so the template
+    inits at tiny shapes; the saved tree is {params, batch_stats}, the
+    layout predict.py:81-90 restores. The step number is parsed from the
+    reference's tf_model_<step>.ckpt convention when present (so
+    --ckpt_step keeps meaning), else 0.
+    """
+    import re
+
+    from mvsnet_tpu import checkpoint as ckpt_lib
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
+
+    cfg = ModelConfig(view_num=3, max_d=8, width=64, height=64,
+                      network_mode=network_mode, compute_dtype="float32",
+                      regularization=regularization)
+    model = MVSNet(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((1, 3, 64, 64, 3)).astype(np.float32)
+    cam = np.zeros((2, 4, 4), np.float32)
+    cam[0] = np.eye(4)
+    cam[1, :3, :3] = [[20, 0, 8], [0, 20, 8], [0, 0, 1]]
+    cam[1, 3] = [500.0, 10.0, 8, 570.0]
+    cams = np.broadcast_to(cam, (1, 3, 2, 4, 4)).copy()
+    ds, di = cams[:, 0, 1, 3, 0], cams[:, 0, 1, 3, 1]
+    if regularization == "GRU":
+        variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                               method=MVSNet.forward_prob_recurrent)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), images, cams, ds, di,
+                               training=False,
+                               method=MVSNet.forward_3dcnn)
+    filled = import_tf_vars(load_tf_checkpoint(ckpt_path), variables,
+                            strict=strict)
+    m = re.search(r"(\d+)", os.path.basename(ckpt_path))
+    step = int(m.group(1)) if m else 0
+    tree = {"params": filled["params"],
+            "batch_stats": filled.get("batch_stats") or {}}
+    return ckpt_lib.save_checkpoint(model_dir, regularization, network_mode,
+                                    step, tree)

@@ -222,3 +222,266 @@ def test_soft_argmin_and_prob_map_match_reference_formula():
     want_pmap = np_probability_map(want_prob, want_depth, ds, di)
     np.testing.assert_allclose(np.asarray(pmap)[0, ..., 0], want_pmap,
                                atol=2e-5, rtol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# realistic-shape END-TO-END parity (VERDICT r2 next #5a)
+# --------------------------------------------------------------------------
+# Vectorized (tap-loop) transcriptions of the same reference formulas as
+# above — needed to run the FULL 3D-CNN graph at 320x256xD32 in test time.
+# The tap-loop formulation is still independent of the framework's
+# lowering (XLA conv_general / Pallas row kernels): each SAME-pad tap is
+# enumerated explicitly.
+
+def np_conv_same_taps(x, kernel, stride=1):
+    """TF SAME conv, channel-last, any spatial rank (tap loop)."""
+    spatial = x.shape[1:-1]
+    ks = kernel.shape[:-2]
+    outs = tuple(-(-s // stride) for s in spatial)
+    pads = tuple(max((o - 1) * stride + k - s, 0)
+                 for s, o, k in zip(spatial, outs, ks))
+    los = tuple(p // 2 for p in pads)
+    xp = np.zeros((x.shape[0],) + tuple(s + p for s, p in zip(spatial, pads))
+                  + (x.shape[-1],), np.float32)
+    xp[(slice(None),) + tuple(slice(lo, lo + s) for lo, s in zip(los, spatial))] = x
+    out = np.zeros((x.shape[0],) + outs + (kernel.shape[-1],), np.float32)
+    for tap in np.ndindex(*ks):
+        sl = (slice(None),) + tuple(
+            slice(d, d + o * stride, stride) for d, o in zip(tap, outs))
+        out += xp[sl] @ kernel[tap]
+    return out
+
+
+def np_deconv_same_s2_taps(x, kernel):
+    """Stride-2 SAME transposed conv, channel-last, any spatial rank:
+    out[2i+d] += x[i] @ kf[d] with kf the spatially flipped kernel (flax
+    ConvTranspose stores kernels pre-flipped relative to TF
+    conv2d_transpose; tf_import owns the storage flip — the math here is
+    the reference deconv, network.py:350-409)."""
+    ks = kernel.shape[:-2]
+    kernel = kernel[(slice(None, None, -1),) * len(ks)]
+    spatial = x.shape[1:-1]
+    outs = tuple(2 * s for s in spatial)
+    out = np.zeros((x.shape[0],) + tuple(o + k for o, k in zip(outs, ks))
+                   + (kernel.shape[-1],), np.float32)
+    for tap in np.ndindex(*ks):
+        sl = (slice(None),) + tuple(
+            slice(d, d + o, 2) for d, o in zip(tap, outs))
+        out[sl] += x @ kernel[tap]
+    return out[(slice(None),) + tuple(slice(0, o) for o in outs)]
+
+
+def np_group_norm_nd(x, gamma, beta, group_channel=8, eps=1e-5):
+    """np_group_norm generalized to any spatial rank."""
+    C = x.shape[-1]
+    spatial = x.shape[1:-1]
+    G = max(1, C // group_channel)
+    xt = np.moveaxis(x, -1, 1).reshape(x.shape[0], G, C // G, *spatial)
+    ax = tuple(range(2, xt.ndim))
+    mean = xt.mean(axis=ax, keepdims=True)
+    var = xt.var(axis=ax, keepdims=True)
+    xt = (xt - mean) / np.sqrt(var + eps)
+    out = xt.reshape(x.shape[0], C, *spatial)
+    shape = (1, C) + (1,) * len(spatial)
+    return np.moveaxis(out * gamma.reshape(shape) + beta.reshape(shape), 1, -1)
+
+
+def _np_convgn(params, name, x, stride=1):
+    k = np.asarray(params[name]["conv"]["Conv_0"]["kernel"], np.float32)
+    y = np_group_norm_nd(np_conv_same_taps(x, k, stride),
+                         np.asarray(params[name]["gn"]["scale"], np.float32),
+                         np.asarray(params[name]["gn"]["bias"], np.float32))
+    return np.maximum(y, 0.0)
+
+
+def _np_deconvgn(params, name, x):
+    # reference deconv_gn applies NO relu (network.py:350-409)
+    k = np.asarray(params[name]["deconv"]["ConvTranspose_0"]["kernel"],
+                   np.float32)
+    return np_group_norm_nd(
+        np_deconv_same_s2_taps(x, k),
+        np.asarray(params[name]["gn"]["scale"], np.float32),
+        np.asarray(params[name]["gn"]["bias"], np.float32))
+
+
+def _np_bn_eval(y, params, stats, name, eps=1e-5):
+    bn_p, bn_s = params[name]["bn"], stats[name]["bn"]
+    sub = next(iter(bn_s))
+    return ((y - np.asarray(bn_s[sub]["mean"]))
+            / np.sqrt(np.asarray(bn_s[sub]["var"]) + eps)
+            * np.asarray(bn_p[sub]["scale"])
+            + np.asarray(bn_p[sub]["bias"]))
+
+
+def _np_convbn(params, stats, name, x, stride=1):
+    k = np.asarray(params[name]["conv"]["Conv_0"]["kernel"], np.float32)
+    return np.maximum(
+        _np_bn_eval(np_conv_same_taps(x, k, stride), params, stats, name), 0.0)
+
+
+def _np_deconvbn(params, stats, name, x):
+    k = np.asarray(params[name]["deconv"]["ConvTranspose_0"]["kernel"],
+                   np.float32)
+    return np.maximum(
+        _np_bn_eval(np_deconv_same_s2_taps(x, k), params, stats, name), 0.0)
+
+
+def _np_bare_conv(params, name, x):
+    return np_conv_same_taps(
+        x, np.asarray(params[name]["Conv_0"]["kernel"], np.float32))
+
+
+def np_unetds2gn(params, x):
+    """UNetDS2GN transcription (reference mvsnetworks.py:53-115)."""
+    cg = lambda n, xx, s=1: _np_convgn(params, n, xx, s)
+    dg = lambda n, xx: _np_deconvgn(params, n, xx)
+    c1_0 = cg("2dconv1_0", x, 2)
+    c2_0 = cg("2dconv2_0", c1_0, 2)
+    c3_0 = cg("2dconv3_0", c2_0, 2)
+    c4_0 = cg("2dconv4_0", c3_0, 2)
+    c0_2 = cg("2dconv0_2", cg("2dconv0_1", x))
+    c1_2 = cg("2dconv1_2", cg("2dconv1_1", c1_0))
+    c2_2 = cg("2dconv2_2", cg("2dconv2_1", c2_0))
+    c3_2 = cg("2dconv3_2", cg("2dconv3_1", c3_0))
+    c4_2 = cg("2dconv4_2", cg("2dconv4_1", c4_0))
+    c5_2 = cg("2dconv5_2", cg("2dconv5_1", np.concatenate(
+        [dg("2dconv5_0", c4_2), c3_2], -1)))
+    c6_2 = cg("2dconv6_2", cg("2dconv6_1", np.concatenate(
+        [dg("2dconv6_0", c5_2), c2_2], -1)))
+    c7_2 = cg("2dconv7_2", cg("2dconv7_1", np.concatenate(
+        [dg("2dconv7_0", c6_2), c1_2], -1)))
+    c8_1 = cg("2dconv8_1", np.concatenate(
+        [dg("2dconv8_0", c7_2), c0_2], -1))
+    c8_2 = cg("2dconv8_2", c8_1)
+    c9_2 = cg("conv9_2", cg("conv9_1", cg("conv9_0", c8_2, 2)))
+    c10_1 = cg("conv10_1", cg("conv10_0", c9_2, 2))
+    return _np_bare_conv(params, "conv10_2", c10_1)
+
+
+def np_regnetus0(params, stats, cost):
+    """RegNetUS0 transcription (reference mvsnetworks.py:122-158)."""
+    cb = lambda n, xx, s=1: _np_convbn(params, stats, n, xx, s)
+    db = lambda n, xx: _np_deconvbn(params, stats, n, xx)
+    c1_0 = cb("3dconv1_0", cost, 2)
+    c2_0 = cb("3dconv2_0", c1_0, 2)
+    c3_0 = cb("3dconv3_0", c2_0, 2)
+    c0_1 = cb("3dconv0_1", cost)
+    c1_1 = cb("3dconv1_1", c1_0)
+    c2_1 = cb("3dconv2_1", c2_0)
+    c3_1 = cb("3dconv3_1", c3_0)
+    c4_0 = db("3dconv4_0", c3_1)
+    c5_0 = db("3dconv5_0", c4_0 + c2_1)
+    c6_0 = db("3dconv6_0", c5_0 + c1_1)
+    return _np_bare_conv(params, "3dconv6_2", c6_0 + c0_1)
+
+
+def np_warp_zero_fill_vec(img, hom):
+    """Vectorized np_warp_zero_fill (same formula, array form)."""
+    H, W, C = img.shape
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pts = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], 0).reshape(3, -1)
+    uvw = hom @ pts
+    sx = uvw[0] / uvw[2] - 0.5
+    sy = uvw[1] / uvw[2] - 0.5
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx, fy = (sx - x0).astype(np.float32), (sy - y0).astype(np.float32)
+    out = np.zeros((H * W, C), np.float32)
+    for (yi, xi, wgt) in ((y0, x0, (1 - fy) * (1 - fx)),
+                          (y0, x0 + 1, (1 - fy) * fx),
+                          (y0 + 1, x0, fy * (1 - fx)),
+                          (y0 + 1, x0 + 1, fy * fx)):
+        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yc, xc = np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)
+        out += (wgt * valid)[:, None] * img[yc, xc]
+    return out.reshape(H, W, C)
+
+
+def np_forward_3dcnn(variables, images, cams, depth_start, depth_interval,
+                     max_d):
+    """Full 3D-CNN graph transcription (reference model.py:257-372):
+    feature towers -> per-depth homography warp -> variance cost ->
+    RegNetUS0 -> soft-argmin -> 4-bin prob map."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    B, V = images.shape[:2]
+    assert B == 1
+    feats = [np_unetds2gn(params["feature_net"], images[0, v:v + 1])
+             for v in range(V)]
+    ref = feats[0][0]
+    depths = depth_start + depth_interval * np.arange(max_d)
+    warped = []
+    for v in range(1, V):
+        homs = np_homographies(cams[0, 0], cams[0, v], depths)
+        warped.append(np.stack(
+            [np_warp_zero_fill_vec(feats[v][0], h) for h in homs]))
+    stack = np.stack([np.broadcast_to(ref, warped[0].shape)] + warped)
+    cost = (stack ** 2).mean(axis=0) - stack.mean(axis=0) ** 2
+    reg = np_regnetus0(params["regnet"], stats["regnet"], cost[None])[0, ..., 0]
+    e = np.exp(-reg - (-reg).max(axis=0, keepdims=True))
+    prob = e / e.sum(axis=0, keepdims=True)
+    depth_map = (prob * depths[:, None, None]).sum(axis=0)
+    d = (depth_map - depth_start) / depth_interval
+    i = np.floor(d).astype(np.int64)
+    pmap = np.zeros_like(depth_map)
+    for off in (-1, 0, 1, 2):
+        b = i + off
+        valid = (b >= 0) & (b < max_d)
+        bc = np.clip(b, 0, max_d - 1)
+        pmap += np.where(valid, np.take_along_axis(prob, bc[None], 0)[0], 0.0)
+    return depth_map, pmap
+
+
+@pytest.mark.parametrize("cw", [False, True])
+def test_e2e_realistic_shape_matches_reference_transcription(cw, monkeypatch):
+    """320x256xD32 normal-mode f32 forward vs the independent numpy
+    transcription, CW layout pipeline off AND on (VERDICT r2 #5a): a
+    kernel-numerics regression at real shapes — e.g. in the CW backward/
+    layout contract — fails here, not just at the golden tiny shapes."""
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models import MVSNet
+
+    if cw:
+        monkeypatch.setenv("MVSNET_TPU_CW", "1")
+    else:
+        monkeypatch.setenv("MVSNET_TPU_CW", "0")
+
+    H, W, D, V = 256, 320, 32, 3
+    cfg = ModelConfig(view_num=V, max_d=D, width=W, height=H,
+                      network_mode="normal", compute_dtype="float32",
+                      depth_chunk=32)
+    model = MVSNet(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((1, V, H, W, 3)).astype(np.float32)
+
+    f = W * 1.2
+    ds_, di_ = 425.0, 2.5
+    cams = np.zeros((1, V, 2, 4, 4), np.float32)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    for v in range(V):
+        yaw = np.deg2rad(3.0) * v
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        E = np.eye(4)
+        E[:3, :3] = [[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]]
+        E[0, 3] = 50.0 * v
+        cams[0, v, 0] = E
+        cams[0, v, 1, :3, :3] = K
+        cams[0, v, 1, 3] = [ds_, di_, D, ds_ + (D - 1) * di_]
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :3, :3] *= 0.25
+    cams_s[:, :, 1, 2, 2] = 1.0
+    dsb = cams_s[:, 0, 1, 3, 0]
+    dib = cams_s[:, 0, 1, 3, 1]
+
+    variables = model.init(jax.random.PRNGKey(0), images, cams_s, dsb, dib,
+                           training=False, method=MVSNet.forward_3dcnn)
+    got_d, got_p = model.apply(variables, images, cams_s, dsb, dib,
+                               training=False, method=MVSNet.forward_3dcnn)
+    want_d, want_p = np_forward_3dcnn(
+        jax.tree.map(np.asarray, variables), images, cams_s,
+        float(dsb[0]), float(dib[0]), D)
+    # depth in scene units (~425-500); 1e-2 abs = ~4e-5 of the range
+    np.testing.assert_allclose(np.asarray(got_d)[0, ..., 0], want_d,
+                               atol=1e-2, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_p)[0, ..., 0], want_p,
+                               atol=1e-4, rtol=1e-3)

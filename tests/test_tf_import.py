@@ -122,3 +122,34 @@ def test_load_npz_checkpoint(tmp_path):
     np.savez(path, **{"a/kernel": np.ones((2, 2), np.float32)})
     d = load_tf_checkpoint(path)
     assert set(d) == {"a/kernel"}
+
+
+def test_import_checkpoint_to_model_dir(tmp_path):
+    """Full import path: TF-style .npz -> orbax model dir -> Predictor
+    restore (the one-command DTU parity runbook's step 2,
+    tools/dtu_scan9_parity.sh)."""
+    from mvsnet_tpu import predict as pl
+    from mvsnet_tpu.tf_import import import_checkpoint
+
+    # template matching import_checkpoint's internal init (ultralite)
+    cfg, model, args = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), *args, training=False,
+                           method=MVSNet.forward_3dcnn)
+    var_dict = _fake_tf_ckpt(variables)
+    npz = str(tmp_path / "tf_model_19307.ckpt.npz")
+    np.savez(npz, **var_dict)
+
+    model_dir = str(tmp_path / "model")
+    out = import_checkpoint(npz, model_dir, regularization="3DCNN",
+                            network_mode="ultralite")
+    assert "19307" in out          # step parsed from the reference name
+
+    p = pl.Predictor(cfg, model_dir=model_dir)
+    images, cams, ds, di = args
+    de = cams[:, 0, 1, 3, 3]
+    depth, prob, _ = p.predict(images, cams, ds, di, de)
+    assert np.isfinite(depth).all() and np.isfinite(prob).all()
+    # the restored params ARE the checkpoint values, not the re-init
+    got = np.asarray(
+        p.variables["params"]["feature_net"]["2dconv1_0"]["conv"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(got, var_dict["2dconv1_0/kernel"])

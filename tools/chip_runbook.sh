@@ -22,6 +22,9 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 # queue would preempt itself forever. The real driver bench still writes
 # it (env unset there) and still preempts us.
 export MVSNET_BENCH_NO_SENTINEL=1
+# Each runbook step is atomic: the gru/train operating points are their
+# own steps below, so bench.py must not also run them as extras.
+export BENCH_EXTRAS=0
 
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 bench_active() { # driver bench.py running? (PID sentinel; stale = dead PID)
@@ -59,19 +62,29 @@ run() { # run <timeout_s> <label> <cmd...>
       continue
     fi
     say "END $label rc=$rc"
-    if [ "$rc" = 124 ]; then
-      # step timed out — if the tunnel died mid-queue, pause here instead
-      # of burning every later step's full timeout against a dead chip
+    if [ "$rc" = 124 ] || [ "$rc" = 2 ]; then
+      # rc=124: step timed out; rc=2: bench.py's own chip probe failed.
+      # Either way the tunnel is likely dead — wait for it to answer,
+      # then RERUN the step (the measurement was lost, not completed).
+      say "tunnel suspect after $label (rc=$rc) — waiting to rerun"
       while ! timeout 90 python tools/tunnel_probe.py >> "$LOG" 2>&1; do
         say "tunnel down mid-runbook — waiting"; sleep 240
       done
+      say "tunnel back — rerunning $label"
+      continue
     fi
     return $rc
   done
 }
 
 say "runbook begin"
-run 180 probe python tools/tunnel_probe.py || { say "tunnel down, aborting"; exit 1; }
+# Wait (indefinitely) for the tunnel rather than aborting: the runbook is
+# routinely launched during an outage so the queue fires the moment the
+# chip answers (replaces the old /tmp watcher).
+until timeout 180 python tools/tunnel_probe.py >> "$LOG" 2>&1; do
+  say "tunnel down — waiting"; sleep 240
+done
+say "tunnel up"
 
 # 0. Kernel smoke: compile-probe EVERY Pallas conv/deconv family at one
 #    real shape (catches Mosaic lowering crashes per-kernel, before any
