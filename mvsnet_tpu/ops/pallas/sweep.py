@@ -261,17 +261,21 @@ def _band_table(y, H):
     return rbase, nextra
 
 
-def _band_cats(src):
-    """(H, W, C) -> (H, W, BAND*C) band-concatenated slab table.
+def _band_cats_n(src, nb):
+    """(H, W, C) -> (H, W, nb*C) band-concatenated slab table.
 
     cats[h][j, r*C + c] = src[h + r, j, c] (zero past the bottom edge), so
     the kernel's horizontal matmul operand for any band start is ONE
     contiguous dynamic row of this table — no in-kernel concat/relayout.
     """
     H, W, C = src.shape
-    pad = jnp.pad(src, ((0, BAND - 1), (0, 0), (0, 0)))
-    sh = jnp.stack([pad[r:r + H] for r in range(BAND)], axis=2)  # (H,W,BAND,C)
-    return sh.reshape(H, W, BAND * C)
+    pad = jnp.pad(src, ((0, nb - 1), (0, 0), (0, 0)))
+    sh = jnp.stack([pad[r:r + H] for r in range(nb)], axis=2)  # (H,W,nb,C)
+    return sh.reshape(H, W, nb * C)
+
+
+def _band_cats(src):
+    return _band_cats_n(src, BAND)
 
 
 def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
@@ -449,6 +453,284 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
     return kernel
 
 
+# Pair-row edition (MVSNET_TPU_SWEEP_PAIR): two adjacent output rows share
+# their horizontal tent matrix — built ONCE at (KBLK, 2*TW) with both
+# rows' tents lane-concatenated on the matmul N axis — and the two
+# straight-line vertical blocks that cover the pair's union span. The
+# round-3 stage model puts the kernel at ~0.34 us of wx BUILD (VPU) +
+# ~0.3 us vertical tents serialized against ~0.42 us MXU per row-view
+# (= the measured 1.14 us). Pairing halves the wx builds outright, and
+# N = 2*TW makes NT=2 lane-tiling free of its N-padding penalty at
+# W=288 (K 288 -> 208). Uses the SAME BAND-row slab tables / VMEM
+# budget as the single-row kernel. Default OFF until chip-A/B'd.
+_PAIR = bool(_os.environ.get("MVSNET_TPU_SWEEP_PAIR"))
+
+
+def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
+                                   NT: int, KBLK: int):
+    """Pair-row slab-table cost kernel (see _PAIR note above).
+
+    Tables (rb/ne/jb/ke) are per (view, tile, PAIR): the vertical band and
+    K-window cover BOTH rows' taps (adjacent rows shear by ~1 source row,
+    so the union costs ~2 extra rows/columns of slack).
+    """
+    view_num = view_count_minus_1 + 1
+    TW = W // NT
+    RP = ROWS_PER_CELL // 2
+
+    def kernel(x_ref, y_ref, rb_ref, ne_ref, jb_ref, ke_ref, reft_ref,
+               cats_hbm, out_ref, cats_vmem, sem):
+        # x/y: (Vm1, 1, ROWS, W) f32; rb/ne/jb/ke: (Vm1, 1, 1, NT, RP) i32
+        # SMEM; reft: (ROWS, C, W); cats_hbm: (Vm1, H, W, BAND*C) ANY;
+        # out: (1, ROWS, C, W); cats_vmem: persistent scratch.
+        C = reft_ref.shape[1]
+        src_dtype = cats_vmem.dtype
+        precision = _precision_for(src_dtype)
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            dma = pltpu.make_async_copy(cats_hbm, cats_vmem, sem)
+            dma.start()
+            dma.wait()
+
+        iota_k2 = jax.lax.broadcasted_iota(jnp.int32, (KBLK, 2 * TW), 0)
+        iota_k2 = iota_k2.astype(jnp.float32)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, TW), 0)
+        iota_b = iota_b.astype(jnp.float32)
+
+        for p in range(RP):
+            y0, y1 = 2 * p, 2 * p + 1
+            s0 = s1 = q0 = q1 = None
+            for v in range(view_count_minus_1):
+                tiles0, tiles1 = [], []
+                for t in range(NT):
+                    # both rows' x coords lane-concatenated: ONE tent build
+                    # at (KBLK, 2*TW) serves the pair
+                    xcat = jnp.concatenate(
+                        [x_ref[v, 0, y0:y0 + 1, t * TW:(t + 1) * TW],
+                         x_ref[v, 0, y1:y1 + 1, t * TW:(t + 1) * TW]],
+                        axis=1)                              # (1, 2*TW)
+                    yrow0 = y_ref[v, 0, y0:y0 + 1, t * TW:(t + 1) * TW]
+                    yrow1 = y_ref[v, 0, y1:y1 + 1, t * TW:(t + 1) * TW]
+                    rbase = rb_ref[v, 0, 0, t, p]
+                    nex = ne_ref[v, 0, 0, t, p]
+                    jb8 = jb_ref[v, 0, 0, t, p]
+                    kex = ke_ref[v, 0, 0, t, p]
+
+                    if KBLK == W:
+                        base_cols = iota_k2
+                    else:
+                        base_cols = (jb8 * 8).astype(jnp.float32) + iota_k2
+                    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(base_cols - xcat))
+                    wx0 = wx0.astype(src_dtype)              # (KBLK, 2*TW)
+
+                    def hwin(start, jb8k, jlo, wx0=wx0, xcat=xcat, v=v,
+                             jb8=jb8):
+                        if jlo is None:
+                            if KBLK == W:
+                                slab = cats_vmem[v, pl.ds(start, 1)]
+                            else:
+                                slab = cats_vmem[v, pl.ds(start, 1),
+                                                 pl.ds(jb8 * 8, KBLK)]
+                            wx = wx0
+                        else:
+                            jb0 = jb8k * 8
+                            slab = cats_vmem[v, pl.ds(start, 1),
+                                             pl.ds(jb0, KBLK)]
+                            cols = jb0.astype(jnp.float32) + iota_k2
+                            wxf = jnp.maximum(0.0,
+                                              1.0 - jnp.abs(cols - xcat))
+                            wxf = jnp.where(cols >= jlo.astype(jnp.float32),
+                                            wxf, 0.0)
+                            wx = wxf.astype(src_dtype)
+                        slab = slab.reshape(KBLK, BAND * C)
+                        return jax.lax.dot_general(
+                            slab, wx, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)             # (BAND*C, 2*TW)
+
+                    def block(start, masked, yrow0=yrow0, yrow1=yrow1,
+                              jb8=jb8, kex=kex, hwin=hwin):
+                        hw = hwin(start, jb8, None)
+
+                        def hextra(k, a, start=start, jb8=jb8, hwin=hwin):
+                            jlo8 = jb8 + k * (KBLK // 8)
+                            jb8k = jnp.minimum(jlo8, (W - KBLK) // 8)
+                            return a + hwin(start, jb8k, jlo8 * 8)
+
+                        if KBLK < W:
+                            hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
+                        rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
+                        rw0 = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow0))
+                        rw1 = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow1))
+                        if masked is not None:
+                            lo, hi = masked
+                            keep = ((rows >= lo.astype(jnp.float32))
+                                    & (rows <= hi.astype(jnp.float32)))
+                            rw0 = jnp.where(keep, rw0, 0.0)
+                            rw1 = jnp.where(keep, rw1, 0.0)
+                        a0 = rw0[0:1, :] * hw[0:C, 0:TW]
+                        a1 = rw1[0:1, :] * hw[0:C, TW:2 * TW]
+                        for r in range(1, BAND):
+                            a0 = a0 + rw0[r:r + 1, :] * hw[r * C:(r + 1) * C,
+                                                           0:TW]
+                            a1 = a1 + rw1[r:r + 1, :] * hw[r * C:(r + 1) * C,
+                                                           TW:2 * TW]
+                        return a0, a1                        # (C, TW) x2
+
+                    # two straight-line BAND blocks cover the pair's union
+                    # span (~11 rows at realistic rigs); residual masked
+                    # blocks are zero-trip
+                    w0, w1 = block(rbase, None)
+                    lo1 = rbase + BAND
+                    e0, e1 = block(jnp.minimum(lo1, H - BAND),
+                                   (lo1, lo1 + (BAND - 1)))
+                    w0, w1 = w0 + e0, w1 + e1
+
+                    def extra(k, acc, rbase=rbase, block=block):
+                        lo = rbase + k * BAND
+                        start = jnp.minimum(lo, H - BAND)
+                        e0, e1 = block(start, (lo, lo + (BAND - 1)))
+                        return (acc[0] + e0, acc[1] + e1)
+
+                    w0, w1 = jax.lax.fori_loop(2, nex + 1, extra, (w0, w1))
+                    tiles0.append(w0)
+                    tiles1.append(w1)
+
+                wd0 = tiles0[0] if NT == 1 else jnp.concatenate(tiles0, axis=1)
+                wd1 = tiles1[0] if NT == 1 else jnp.concatenate(tiles1, axis=1)
+                if s0 is None:
+                    s0, q0 = wd0, wd0 * wd0
+                    s1, q1 = wd1, wd1 * wd1
+                else:
+                    s0, q0 = s0 + wd0, q0 + wd0 * wd0
+                    s1, q1 = s1 + wd1, q1 + wd1 * wd1
+
+            for yy, ss, qq in ((y0, s0, q0), (y1, s1, q1)):
+                ref_row = reft_ref[yy].astype(jnp.float32)   # (C, W)
+                ss = ss + ref_row
+                qq = qq + ref_row * ref_row
+                mean = ss / view_num
+                cost = qq / view_num - mean * mean
+                out_ref[0, yy] = cost.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _pair_tables(x, y, H, W, NT, KBLK, rows_blocks):
+    """Per-(view, depth, PAIR, tile) band/window tables (SMEM layout
+    (Vm1, D, RB, NT, ROWS_PER_CELL // 2))."""
+    Vm1, D, rows = y.shape[:3]
+    TW = W // NT
+    y2 = y.reshape(Vm1, D, rows // 2, 2, NT, TW)
+    x2 = x.reshape(Vm1, D, rows // 2, 2, NT, TW)
+    r0f = jnp.floor(y2)
+    rlo = jnp.clip(jnp.min(r0f, axis=(3, 5)), 0.0, float(H - 1))
+    rhi = jnp.clip(jnp.max(r0f, axis=(3, 5)) + 1.0, 0.0, float(H - 1))
+    rbase = jnp.minimum(rlo.astype(jnp.int32), H - BAND)
+    nextra = (rhi.astype(jnp.int32) - rbase) // BAND
+    jlo = jnp.clip(jnp.floor(jnp.min(x2, axis=(3, 5))), 0.0, float(W - 1))
+    jhi = jnp.clip(jnp.floor(jnp.max(x2, axis=(3, 5))) + 1.0, 0.0,
+                   float(W - 1))
+    jb8 = jnp.minimum(jlo.astype(jnp.int32) // 8, (W - KBLK) // 8)
+    kextra = jnp.maximum(0, (jhi.astype(jnp.int32) - jb8 * 8) // KBLK)
+
+    def tbl(a):                      # (Vm1, D, P, NT) -> (.., RB, NT, RP)
+        rp = ROWS_PER_CELL // 2
+        a = a.reshape(Vm1, D, rows_blocks, rp, NT)
+        return jnp.transpose(a, (0, 1, 2, 4, 3))
+
+    return tbl(rbase), tbl(nextra), tbl(jb8), tbl(kextra)
+
+
+def _preload_pair_cchunk(height, width, channels, view_count_minus_1,
+                         dtype=jnp.bfloat16) -> int:
+    """Pair kernel uses the SAME BAND-row slab tables/VMEM budget as the
+    single-row preload; it only additionally needs even row pairs and
+    lane-splittable W."""
+    if (ROWS_PER_CELL % 2 != 0 or width % 16 != 0
+            or height < 2 * BAND):
+        return 0
+    return _preload_cchunk(height, width, channels, view_count_minus_1,
+                           dtype)
+
+
+def _preload_call_pair(ref_feature, view_features, x, y, tables, H, W,
+                       out_rows, NT, KBLK, Vm1, interpret, cw_out=False):
+    D = x.shape[1]
+    C = ref_feature.shape[-1]
+    rows_blocks = out_rows // ROWS_PER_CELL
+    rp = ROWS_PER_CELL // 2
+    cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
+    reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
+
+    grid = (D, rows_blocks)
+    smem_spec = pl.BlockSpec((Vm1, 1, 1, NT, rp),
+                             lambda d, rb: (0, d, rb, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_cost_kernel_preload_pair(Vm1, H, W, NT, KBLK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
+                         lambda d, rb: (0, d, rb, 0), memory_space=pltpu.VMEM),
+            smem_spec, smem_spec, smem_spec, smem_spec,
+            pl.BlockSpec((ROWS_PER_CELL, C, W), lambda d, rb: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, C, W),
+                               lambda d, rb: (d, rb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, out_rows, C, W),
+                                       ref_feature.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Vm1, H, W, BAND * C), view_features.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=_ARBITRARY2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * out_rows * W * KBLK * BAND * C * Vm1,
+            bytes_accessed=(D * out_rows * W * C * ref_feature.dtype.itemsize
+                            + Vm1 * H * W * BAND * C
+                            * view_features.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(x, y, *tables, reft, cats)
+    if cw_out:
+        return out                                   # (D, rows, C, W) native
+    return jnp.transpose(out, (0, 1, 3, 2))          # -> (D, rows, W, C)
+
+
+def _tile_params_pair(W: int):
+    """Pair-kernel tiling: the matmul N axis is 2*TW (both rows'
+    lane-concatenated tents), so the padded-slot model differs from
+    _tile_params — tiling wins whenever K shrinks faster than the
+    (already doubled) N pads."""
+    def kblk(tw):
+        return min(W, -(-(tw + 64) // 8) * 8)
+
+    forced = _os.environ.get("MVSNET_TPU_SWEEP_NT")
+    if forced:
+        NT = int(forced)
+        return NT, W // NT, kblk(W // NT)
+
+    def slots(nt):
+        tw = W // nt
+        npad = -(-(2 * tw) // 128) * 128
+        return nt * kblk(tw) * npad * (1.0 + 0.12 * (nt - 1))
+
+    best = 1
+    for nt in (2, 4):
+        if W % (nt * 8) == 0 and W // nt >= 64 and slots(nt) < slots(best):
+            best = nt
+    TW = W // best
+    return best, TW, kblk(TW)
+
+
 def _tile_params(W: int):
     """(NT, TW, KBLK): lane-tile count, tile width, K-window width.
 
@@ -551,8 +833,6 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
     assert out_rows % ROWS_PER_CELL == 0 and H >= BAND
     assert ref_feature.shape == (out_rows, W, C)
 
-    cchunk = _preload_cchunk(H, W, C, Vm1, view_features.dtype) or C
-
     def coords(h):                                   # (D, 3, 3)
         x, y = projected_coords(h, H, W)
         x = x.reshape(D, H, W)
@@ -565,29 +845,40 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
     # coords + band/window tables are channel-independent: computed ONCE
     # and shared by every C-chunk call (the GRU point runs 2 chunks).
     x, y = jax.vmap(coords)(homographies)            # (Vm1, D, rows, W) f32
-    NT, TW, KBLK = _tile_params(W)
     rows_blocks = out_rows // ROWS_PER_CELL
-    xt = x.reshape(Vm1, D, out_rows, NT, TW)
-    rbase, nextra = _band_table(y.reshape(Vm1, D, out_rows, NT, TW), H)
-    jbase, kextra = _hwin_table(xt, W, KBLK)         # (Vm1, D, rows, NT) i32
 
-    def tbl(a):                                      # -> (.., RB, NT, ROWS)
-        a = a.reshape(Vm1, D, rows_blocks, ROWS_PER_CELL, NT)
-        return jnp.transpose(a, (0, 1, 2, 4, 3))
+    pair_cchunk = (_preload_pair_cchunk(H, W, C, Vm1, view_features.dtype)
+                   if _PAIR else 0)
+    if pair_cchunk:
+        NT, TW, KBLK = _tile_params_pair(W)
+        tables = _pair_tables(x, y, H, W, NT, KBLK, rows_blocks)
+        call = _preload_call_pair
+        cchunk = pair_cchunk
+    else:
+        NT, TW, KBLK = _tile_params(W)
+        xt = x.reshape(Vm1, D, out_rows, NT, TW)
+        rbase, nextra = _band_table(y.reshape(Vm1, D, out_rows, NT, TW), H)
+        jbase, kextra = _hwin_table(xt, W, KBLK)     # (Vm1, D, rows, NT) i32
 
-    tables = (tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra))
+        def tbl(a):                                  # -> (.., RB, NT, ROWS)
+            a = a.reshape(Vm1, D, rows_blocks, ROWS_PER_CELL, NT)
+            return jnp.transpose(a, (0, 1, 2, 4, 3))
+
+        tables = (tbl(rbase), tbl(nextra), tbl(jbase), tbl(kextra))
+        call = _preload_call
+        cchunk = _preload_cchunk(H, W, C, Vm1, view_features.dtype) or C
 
     if cchunk < C:
         parts = [
-            _preload_call(ref_feature[..., c0:c0 + cchunk],
-                          view_features[..., c0:c0 + cchunk],
-                          x, y, tables, H, W, out_rows, NT, KBLK, Vm1,
-                          interpret, cw_out)
+            call(ref_feature[..., c0:c0 + cchunk],
+                 view_features[..., c0:c0 + cchunk],
+                 x, y, tables, H, W, out_rows, NT, KBLK, Vm1,
+                 interpret, cw_out)
             for c0 in range(0, C, cchunk)
         ]
         return jnp.concatenate(parts, axis=-2 if cw_out else -1)
-    return _preload_call(ref_feature, view_features, x, y, tables,
-                         H, W, out_rows, NT, KBLK, Vm1, interpret, cw_out)
+    return call(ref_feature, view_features, x, y, tables,
+                H, W, out_rows, NT, KBLK, Vm1, interpret, cw_out)
 
 
 def _preload_call(ref_feature, view_features, x, y, tables, H, W,
@@ -877,7 +1168,8 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     # The slab tables C-chunk to fit VMEM at any view count (the Vm1<=2
     # cap was round-2a conservatism; the C-chunked preload beat blockres
     # 2.6x on-chip at Vm1=2 and the per-chunk coord recompute is cheap).
-    if _preload_cchunk(H, W, C, Vm1, view_features.dtype):
+    if ((_PAIR and _preload_pair_cchunk(H, W, C, Vm1, view_features.dtype))
+            or _preload_cchunk(H, W, C, Vm1, view_features.dtype)):
         return _pallas_cost_volume_preload(ref_feature, view_features,
                                            homographies, interpret=interpret,
                                            cw_out=cw_out)

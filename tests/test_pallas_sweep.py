@@ -104,6 +104,38 @@ def test_fused_cost_volume_tiled_wide():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_cost_volume_pair_rows(monkeypatch):
+    """Pair-row preload kernel (MVSNET_TPU_SWEEP_PAIR): two output rows
+    share one PB=16 slab block and one tap matmul. Must match the XLA
+    cost volume exactly, including through the masked kextra/nextra
+    loops (zoomed + rotated homography) and C-chunking."""
+    import importlib
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_PAIR", "1")
+    importlib.reload(sweep)
+    try:
+        rng = np.random.default_rng(11)
+        H, W, C, D, Vm1 = 32, 256, 8, 3, 2
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
+        homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25, shift_range=30.0),
+                          make_homs(D, rot=-0.05)])
+        assert sweep._PAIR and sweep._preload_pair_cchunk(
+            H, W, C, Vm1, jnp.float32) > 0
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+        expected = plane_sweep_cost_volume(ref[None], views[:, None],
+                                           homs[:, None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_PAIR")
+        importlib.reload(sweep)
+
+
 def test_fused_cost_volume_cchunked():
     """When the slab tables overflow VMEM (GRU point), the preload wrapper
     splits channels; numerics must match the unsplit kernel exactly."""
