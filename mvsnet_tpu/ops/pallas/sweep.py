@@ -459,11 +459,18 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
 # straight-line vertical blocks that cover the pair's union span. The
 # round-3 stage model puts the kernel at ~0.34 us of wx BUILD (VPU) +
 # ~0.3 us vertical tents serialized against ~0.42 us MXU per row-view
-# (= the measured 1.14 us). Pairing halves the wx builds outright, and
-# N = 2*TW makes NT=2 lane-tiling free of its N-padding penalty at
-# W=288 (K 288 -> 208). Uses the SAME BAND-row slab tables / VMEM
-# budget as the single-row kernel. Default OFF until chip-A/B'd.
-_PAIR = bool(_os.environ.get("MVSNET_TPU_SWEEP_PAIR"))
+# (= the measured 1.14 us). Pairing halves the matmul calls and drops
+# the N-padding from 33% to 11% at W=288. Uses the SAME BAND-row slab
+# tables / VMEM budget as the single-row kernel.
+#
+# Chip A/B (round 3, same window, bench_logs/r3_pair_nt_ab.log):
+#   3DCNN point (W=288): base/NT1 97.2, PAIR/NT1 82.8, PAIR/NT2 171.9,
+#     base/NT2 208.9 ms
+#   GRU point (W=400):   base/NT2 204.4 (old default), PAIR/NT2 102.4,
+#     PAIR/NT1 85.7 ms
+# => pair ON by default; NT=1 everywhere (lane-tiled K-windows lose ~2x
+# on the lane-dynamic slab reads, refuting the r2 padded-slot model).
+_PAIR = _os.environ.get("MVSNET_TPU_SWEEP_PAIR", "1") not in ("0", "")
 
 
 def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
@@ -706,10 +713,10 @@ def _preload_call_pair(ref_feature, view_features, x, y, tables, H, W,
 
 
 def _tile_params_pair(W: int):
-    """Pair-kernel tiling: the matmul N axis is 2*TW (both rows'
-    lane-concatenated tents), so the padded-slot model differs from
-    _tile_params — tiling wins whenever K shrinks faster than the
-    (already doubled) N pads."""
+    """Pair-kernel tiling: NT=1 unless forced — chip A/Bs (see _PAIR
+    comment) measured lane-tiled K-windows ~2x SLOWER at both operating
+    points (the lane-dynamic slab reads dominate whatever the padded-slot
+    arithmetic saves)."""
     def kblk(tw):
         return min(W, -(-(tw + 64) // 8) * 8)
 
@@ -717,30 +724,19 @@ def _tile_params_pair(W: int):
     if forced:
         NT = int(forced)
         return NT, W // NT, kblk(W // NT)
-
-    def slots(nt):
-        tw = W // nt
-        npad = -(-(2 * tw) // 128) * 128
-        return nt * kblk(tw) * npad * (1.0 + 0.12 * (nt - 1))
-
-    best = 1
-    for nt in (2, 4):
-        if W % (nt * 8) == 0 and W // nt >= 64 and slots(nt) < slots(best):
-            best = nt
-    TW = W // best
-    return best, TW, kblk(TW)
+    return 1, W, W
 
 
 def _tile_params(W: int):
     """(NT, TW, KBLK): lane-tile count, tile width, K-window width.
 
     KBLK = tile width + 64 slack columns for the x-shift range (larger
-    shifts fall into the masked kextra loop, still exact). NT is chosen
-    by a padded-MAC-slot model: the MXU pads N to 128-lane multiples, so
-    tiling only pays when K shrinks faster than the N padding grows
-    (measured: W=288 NT=2 ran 110 ms vs 94.6 untiled — TW=144 pads to
-    256; W=400 tiles win). A 12% per-extra-tile penalty accounts for the
-    duplicated per-tile wx/rw/loop overheads."""
+    shifts fall into the masked kextra loop, still exact). NT=1 unless
+    forced: the r2 padded-MAC-slot model (tile when K shrinks faster
+    than N pads) was refuted on chip in round 3 — same-window A/Bs
+    measured NT=2 ~2x SLOWER at BOTH operating points (W=288: 208.9 vs
+    97.2; W=400: 204.4 vs the pair kernel's NT=1 85.7), the lane-dynamic
+    slab reads dominating any slot savings."""
     def kblk(tw):
         return min(W, -(-(tw + 64) // 8) * 8)
 
@@ -748,18 +744,7 @@ def _tile_params(W: int):
     if forced:
         NT = int(forced)
         return NT, W // NT, kblk(W // NT)
-
-    def slots(nt):
-        tw = W // nt
-        npad = -(-tw // 128) * 128
-        return nt * kblk(tw) * npad * (1.0 + 0.12 * (nt - 1))
-
-    best = 1
-    for nt in (2, 4):
-        if W % (nt * 8) == 0 and W // nt >= 128 and slots(nt) < slots(best):
-            best = nt
-    TW = W // best
-    return best, TW, kblk(TW)
+    return 1, W, W
 
 
 def _hwin_table(x, W, KBLK):

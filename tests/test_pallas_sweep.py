@@ -83,13 +83,16 @@ def test_fused_cost_volume_matches_xla():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_fused_cost_volume_tiled_wide():
-    """W>=256 engages NT=2 lane-tiles with banded-K windows; a zoomed-out
-    + rotated homography overflows both the K-window (kextra) and the
-    vertical band (nextra) so the masked extra loops are exercised."""
+def test_fused_cost_volume_tiled_wide(monkeypatch):
+    """NT=2 lane-tiles with banded-K windows (opt-in since round 3 —
+    chip A/Bs measured tiling ~2x slower, but the masked kextra/nextra
+    extra loops must stay exact for the env-forced experiments); a
+    zoomed-out + rotated homography overflows both the K-window (kextra)
+    and the vertical band (nextra)."""
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
     from mvsnet_tpu.ops.pallas.sweep import _tile_params, pallas_sweep_cost_volume
 
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_NT", "2")
     assert _tile_params(256)[0] == 2
     rng = np.random.default_rng(7)
     H, W, C, D, Vm1 = 16, 256, 4, 3, 2
@@ -104,9 +107,11 @@ def test_fused_cost_volume_tiled_wide():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_fused_cost_volume_pair_rows(monkeypatch):
-    """Pair-row preload kernel (MVSNET_TPU_SWEEP_PAIR): two output rows
-    share one PB=16 slab block and one tap matmul. Must match the XLA
+@pytest.mark.parametrize("pair", ["1", "0"])
+def test_fused_cost_volume_pair_rows(monkeypatch, pair):
+    """Pair-row preload kernel (default since round 3; =0 restores the
+    single-row kernel — both need coverage). Two output rows share one
+    tent matrix + the straight-line vertical blocks. Must match the XLA
     cost volume exactly, including through the masked kextra/nextra
     loops (zoomed + rotated homography) and C-chunking."""
     import importlib
@@ -114,7 +119,7 @@ def test_fused_cost_volume_pair_rows(monkeypatch):
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
     from mvsnet_tpu.ops.pallas import sweep
 
-    monkeypatch.setenv("MVSNET_TPU_SWEEP_PAIR", "1")
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_PAIR", pair)
     importlib.reload(sweep)
     try:
         rng = np.random.default_rng(11)
@@ -123,8 +128,9 @@ def test_fused_cost_volume_pair_rows(monkeypatch):
         views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
         homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25, shift_range=30.0),
                           make_homs(D, rot=-0.05)])
-        assert sweep._PAIR and sweep._preload_pair_cchunk(
-            H, W, C, Vm1, jnp.float32) > 0
+        assert sweep._PAIR == (pair == "1")
+        if pair == "1":
+            assert sweep._preload_pair_cchunk(H, W, C, Vm1, jnp.float32) > 0
         got = sweep._pallas_cost_volume_preload(ref, views, homs,
                                                 interpret=True)
         expected = plane_sweep_cost_volume(ref[None], views[:, None],

@@ -10,6 +10,11 @@ Usage: python tools/bench_featnet.py [--full]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 import json

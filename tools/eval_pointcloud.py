@@ -1,3 +1,7 @@
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #!/usr/bin/env python
 """DTU-style point-cloud evaluation: accuracy / completeness / F-score.
 
@@ -24,6 +28,11 @@ Prints one JSON line with all metrics (units = input units, mm for DTU).
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import json
