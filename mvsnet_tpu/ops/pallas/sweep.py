@@ -75,20 +75,25 @@ ROWS_PER_CELL = 8
 # step) dominate; BAND=16 would blow the preload VMEM scratch.
 BAND = int(_os.environ.get("MVSNET_TPU_SWEEP_BAND", "8"))
 # A/B knob: restore the fully dynamic vertical-band loop (pre straight-line
-# second block) to isolate the pipeline-stall fix on chip. At BAND >= 16
-# one block already covers the realistic span range (mean 9.1, max ~22 at
-# the 3DCNN rig -> nextra==0 for most rows), so the unconditional second
-# block would be pure waste — BAND=16 runs single-block + zero-trip
-# residual loop instead (same total MXU taps as BAND=8's two blocks,
-# half the per-block overhead; C auto-chunks to keep the slab tables in
-# VMEM, _preload_cchunk).
-_STATIC2 = (not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")) and BAND < 16
+# second block) to isolate the pipeline-stall fix on chip. At BAND >= 12
+# one block already covers the realistic span range (single-row mean 9.1,
+# pair union ~11 at the 3DCNN rig -> nextra==0 for most rows), so the
+# unconditional second block would be pure waste — BAND >= 12 runs
+# single-block + zero-trip residual loop instead. BAND=12 x 1 block is
+# 25% fewer MXU taps than BAND=8 x 2 blocks, and (unlike the BAND=16
+# experiment, which lost 130.5 vs 97.3 ms) its slab tables still fit
+# VMEM un-chunked at the 3DCNN point under the 112 MiB limit, so the
+# horizontal tents are built once, not per C-chunk.
+_STATIC2 = (not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")) and BAND < 12
 
 # v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
 # limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep
 # ALL source view maps resident (V=5 at the 1152x864 point is ~26 MiB
-# double-buffered) instead of falling back at V>=4.
-_VMEM_LIMIT = 100 * 2 ** 20
+# double-buffered) instead of falling back at V>=4. 112 MiB leaves 16 MiB
+# for the streamed x/y/reft/out blocks (~1 MiB double-buffered at the
+# bench points) and admits the BAND=12 slab tables (95.5 MB at 216x288
+# C32 V3) without C-chunking.
+_VMEM_LIMIT = 112 * 2 ** 20
 _PARALLEL2 = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"),
                                   vmem_limit_bytes=_VMEM_LIMIT)
 _ARBITRARY2 = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"),
@@ -585,14 +590,16 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
                                                            TW:2 * TW]
                         return a0, a1                        # (C, TW) x2
 
-                    # two straight-line BAND blocks cover the pair's union
-                    # span (~11 rows at realistic rigs); residual masked
-                    # blocks are zero-trip
+                    # straight-line BAND blocks cover the pair's union
+                    # span (~11 rows at realistic rigs): two at BAND=8,
+                    # one at BAND>=12 (_STATIC2); residual masked blocks
+                    # are zero-trip
                     w0, w1 = block(rbase, None)
-                    lo1 = rbase + BAND
-                    e0, e1 = block(jnp.minimum(lo1, H - BAND),
-                                   (lo1, lo1 + (BAND - 1)))
-                    w0, w1 = w0 + e0, w1 + e1
+                    if _STATIC2:
+                        lo1 = rbase + BAND
+                        e0, e1 = block(jnp.minimum(lo1, H - BAND),
+                                       (lo1, lo1 + (BAND - 1)))
+                        w0, w1 = w0 + e0, w1 + e1
 
                     def extra(k, acc, rbase=rbase, block=block):
                         lo = rbase + k * BAND
@@ -600,7 +607,8 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
                         e0, e1 = block(start, (lo, lo + (BAND - 1)))
                         return (acc[0] + e0, acc[1] + e1)
 
-                    w0, w1 = jax.lax.fori_loop(2, nex + 1, extra, (w0, w1))
+                    w0, w1 = jax.lax.fori_loop(2 if _STATIC2 else 1,
+                                               nex + 1, extra, (w0, w1))
                     tiles0.append(w0)
                     tiles1.append(w1)
 
@@ -656,7 +664,7 @@ def _preload_pair_cchunk(height, width, channels, view_count_minus_1,
     single-row preload; it only additionally needs even row pairs and
     lane-splittable W."""
     if (ROWS_PER_CELL % 2 != 0 or width % 16 != 0
-            or height < 2 * BAND):
+            or height < (2 * BAND if _STATIC2 else BAND)):
         return 0
     return _preload_cchunk(height, width, channels, view_count_minus_1,
                            dtype)

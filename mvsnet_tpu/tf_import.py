@@ -160,20 +160,33 @@ def import_tf_vars(var_dict: Dict[str, np.ndarray], variables,
 def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a TF checkpoint (Saver prefix or .npz export) into a dict.
 
-    TF is not a dependency of this package; Saver checkpoints need
-    tensorflow installed, .npz exports (numpy-converted checkpoints) work
-    anywhere.
+    Saver V2 bundles (`<path>.index` + `<path>.data-*`) are read by the
+    in-repo pure-numpy bundle reader (io/tf_bundle.py) — no tensorflow
+    needed. tensorflow, when present, is only a fallback for exotic
+    variants the native reader rejects (e.g. re-compressed index blocks,
+    partitioned variables).
     """
     if path.endswith(".npz"):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
+
+    from mvsnet_tpu.io import tf_bundle  # noqa: PLC0415
+
+    if tf_bundle.is_bundle(path):
+        try:
+            return dict(tf_bundle.read_bundle(path))
+        except ValueError as e:
+            logger.warning("native bundle reader failed (%s); trying "
+                           "tensorflow", e)
     try:
         import tensorflow as tf  # noqa: PLC0415
     except ImportError as e:  # pragma: no cover
         raise ImportError(
-            "reading TF Saver checkpoints requires tensorflow; convert to "
-            ".npz offline (np.savez(path, **{name: reader.get_tensor(name) "
-            "for name in reader.get_variable_to_shape_map()}))") from e
+            f"{path} is not a readable Saver V2 bundle or .npz export, "
+            "and tensorflow is not installed for the fallback path; "
+            "convert to .npz offline (np.savez(path, **{name: "
+            "reader.get_tensor(name) for name in "
+            "reader.get_variable_to_shape_map()}))") from e
     reader = tf.train.load_checkpoint(path)  # pragma: no cover
     return {name: reader.get_tensor(name)  # pragma: no cover
             for name in reader.get_variable_to_shape_map()}

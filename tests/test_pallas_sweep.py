@@ -142,6 +142,42 @@ def test_fused_cost_volume_pair_rows(monkeypatch, pair):
         importlib.reload(sweep)
 
 
+@pytest.mark.parametrize("band,pair", [("12", "1"), ("12", "0"),
+                                       ("16", "1")])
+def test_fused_cost_volume_single_block_band(monkeypatch, band, pair):
+    """BAND >= 12 switches both kernels to ONE static vertical block +
+    masked fori extras (_STATIC2 False). A strong rotation makes the
+    per-row span exceed BAND so the extra blocks actually run, and the
+    shifts overflow the right edge for the zero-fill masks."""
+    import importlib
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_BAND", band)
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_PAIR", pair)
+    importlib.reload(sweep)
+    try:
+        assert sweep.BAND == int(band) and not sweep._STATIC2
+        rng = np.random.default_rng(13)
+        H, W, C, D, Vm1 = 32, 32, 4, 3, 2
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)),
+                            jnp.float32)
+        homs = jnp.stack([make_homs(D, rot=0.5, shift_range=20.0),
+                          make_homs(D, rot=-0.06)])
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+        expected = plane_sweep_cost_volume(ref[None], views[:, None],
+                                           homs[:, None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_BAND")
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_PAIR")
+        importlib.reload(sweep)
+
+
 def test_fused_cost_volume_cchunked():
     """When the slab tables overflow VMEM (GRU point), the preload wrapper
     splits channels; numerics must match the unsplit kernel exactly."""

@@ -124,6 +124,63 @@ def test_load_npz_checkpoint(tmp_path):
     assert set(d) == {"a/kernel"}
 
 
+def test_load_saver_bundle_checkpoint(tmp_path):
+    """load_tf_checkpoint reads a REAL-format Saver V2 bundle (index +
+    data shard) through the pure-numpy reader — the branch the DTU
+    parity runbook hits with reference GCS weights, previously only
+    reachable with tensorflow installed."""
+    from mvsnet_tpu.io import tf_bundle
+
+    cfg, model, args = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), *args, training=False,
+                           method=MVSNet.forward_3dcnn)
+    var_dict = _fake_tf_ckpt(variables)
+    # reference checkpoints also carry optimizer slots; they must be
+    # ignored by import_tf_vars' unused-variable filter
+    var_dict["2dconv1_0/kernel/Adam"] = np.zeros_like(
+        var_dict["2dconv1_0/kernel"])
+    var_dict["global_step"] = np.asarray(150000, np.int64)
+    prefix = str(tmp_path / "tf_model_150000.ckpt")
+    tf_bundle.write_bundle(prefix, var_dict)
+
+    loaded_dict = load_tf_checkpoint(prefix)
+    assert set(loaded_dict) == set(var_dict)
+    loaded = import_tf_vars(loaded_dict, variables, strict=True)
+    d, _ = model.apply(loaded, *args, training=False,
+                       method=MVSNet.forward_3dcnn)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_import_checkpoint_saver_bundle_to_model_dir(tmp_path):
+    """import_checkpoint end-to-end off a Saver-format prefix (not .npz):
+    bundle -> Flax tree -> orbax model dir -> Predictor restore."""
+    from mvsnet_tpu import predict as pl
+    from mvsnet_tpu.io import tf_bundle
+    from mvsnet_tpu.tf_import import import_checkpoint
+
+    cfg, model, args = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), *args, training=False,
+                           method=MVSNet.forward_3dcnn)
+    var_dict = _fake_tf_ckpt(variables)
+    prefix = str(tmp_path / "tf_model_80000.ckpt")
+    tf_bundle.write_bundle(prefix, var_dict)
+
+    model_dir = str(tmp_path / "model")
+    out = import_checkpoint(prefix, model_dir, regularization="3DCNN",
+                            network_mode="ultralite")
+    assert "80000" in out
+    p = pl.Predictor(cfg, model_dir=model_dir)
+    images, cams, ds, di = args
+    de = cams[:, 0, 1, 3, 3]
+    depth, prob, _ = p.predict(images, cams, ds, di, de)
+    assert np.isfinite(depth).all() and np.isfinite(prob).all()
+    # variables restore lazily on first predict; they must be the bundle
+    # values, not the re-init
+    got = np.asarray(
+        p.variables["params"]["feature_net"]["2dconv1_0"]["conv"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(got, var_dict["2dconv1_0/kernel"])
+
+
 def test_import_checkpoint_to_model_dir(tmp_path):
     """Full import path: TF-style .npz -> orbax model dir -> Predictor
     restore (the one-command DTU parity runbook's step 2,
