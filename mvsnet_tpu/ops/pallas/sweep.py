@@ -476,19 +476,27 @@ def _make_cost_kernel_preload(view_count_minus_1: int, H: int, W: int,
 # => pair ON by default; NT=1 everywhere (lane-tiled K-windows lose ~2x
 # on the lane-dynamic slab reads, refuting the r2 padded-slot model).
 _PAIR = _os.environ.get("MVSNET_TPU_SWEEP_PAIR", "1") not in ("0", "")
+# Group size: how many adjacent output rows share one tent matrix + one
+# set of vertical blocks. 4 = default (chip A/B bench_logs/r3b_queue.log:
+# 71.1 ms vs pair's 82.6/82.8 bracket at the 3DCNN cost point — per-row
+# block/slab/call overhead halves vs pair and N = 4*288 = 1152 = 9*128
+# tiles exactly). Eligibility W % (8*G) == 0: the GRU point (W=400)
+# auto-falls back to the pair kernel (_group_params). 1/0 disables
+# (single-row kernel).
+_GROUP = int(_os.environ.get("MVSNET_TPU_SWEEP_GROUP", "4")) if _PAIR else 1
 
 
-def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
-                                   NT: int, KBLK: int):
-    """Pair-row slab-table cost kernel (see _PAIR note above).
+def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
+                                    NT: int, KBLK: int, G: int):
+    """Group-row slab-table cost kernel (see _PAIR/_GROUP note above).
 
-    Tables (rb/ne/jb/ke) are per (view, tile, PAIR): the vertical band and
-    K-window cover BOTH rows' taps (adjacent rows shear by ~1 source row,
-    so the union costs ~2 extra rows/columns of slack).
+    Tables (rb/ne/jb/ke) are per (view, tile, GROUP): the vertical band and
+    K-window cover ALL G rows' taps (adjacent rows shear by ~1 source row,
+    so the union costs ~G extra rows/columns of slack).
     """
     view_num = view_count_minus_1 + 1
     TW = W // NT
-    RP = ROWS_PER_CELL // 2
+    RP = ROWS_PER_CELL // G
 
     def kernel(x_ref, y_ref, rb_ref, ne_ref, jb_ref, ke_ref, reft_ref,
                cats_hbm, out_ref, cats_vmem, sem):
@@ -505,36 +513,35 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
             dma.start()
             dma.wait()
 
-        iota_k2 = jax.lax.broadcasted_iota(jnp.int32, (KBLK, 2 * TW), 0)
-        iota_k2 = iota_k2.astype(jnp.float32)
+        iota_kg = jax.lax.broadcasted_iota(jnp.int32, (KBLK, G * TW), 0)
+        iota_kg = iota_kg.astype(jnp.float32)
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, TW), 0)
         iota_b = iota_b.astype(jnp.float32)
 
         for p in range(RP):
-            y0, y1 = 2 * p, 2 * p + 1
-            s0 = s1 = q0 = q1 = None
+            ys = [G * p + g for g in range(G)]
+            sums, sqs = [None] * G, [None] * G
             for v in range(view_count_minus_1):
-                tiles0, tiles1 = [], []
+                tiles = [[] for _ in range(G)]
                 for t in range(NT):
-                    # both rows' x coords lane-concatenated: ONE tent build
-                    # at (KBLK, 2*TW) serves the pair
+                    # all G rows' x coords lane-concatenated: ONE tent
+                    # build at (KBLK, G*TW) serves the group
                     xcat = jnp.concatenate(
-                        [x_ref[v, 0, y0:y0 + 1, t * TW:(t + 1) * TW],
-                         x_ref[v, 0, y1:y1 + 1, t * TW:(t + 1) * TW]],
-                        axis=1)                              # (1, 2*TW)
-                    yrow0 = y_ref[v, 0, y0:y0 + 1, t * TW:(t + 1) * TW]
-                    yrow1 = y_ref[v, 0, y1:y1 + 1, t * TW:(t + 1) * TW]
+                        [x_ref[v, 0, yy:yy + 1, t * TW:(t + 1) * TW]
+                         for yy in ys], axis=1)              # (1, G*TW)
+                    yrows = [y_ref[v, 0, yy:yy + 1, t * TW:(t + 1) * TW]
+                             for yy in ys]
                     rbase = rb_ref[v, 0, 0, t, p]
                     nex = ne_ref[v, 0, 0, t, p]
                     jb8 = jb_ref[v, 0, 0, t, p]
                     kex = ke_ref[v, 0, 0, t, p]
 
                     if KBLK == W:
-                        base_cols = iota_k2
+                        base_cols = iota_kg
                     else:
-                        base_cols = (jb8 * 8).astype(jnp.float32) + iota_k2
+                        base_cols = (jb8 * 8).astype(jnp.float32) + iota_kg
                     wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(base_cols - xcat))
-                    wx0 = wx0.astype(src_dtype)              # (KBLK, 2*TW)
+                    wx0 = wx0.astype(src_dtype)              # (KBLK, G*TW)
 
                     def hwin(start, jb8k, jlo, wx0=wx0, xcat=xcat, v=v,
                              jb8=jb8):
@@ -549,7 +556,7 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
                             jb0 = jb8k * 8
                             slab = cats_vmem[v, pl.ds(start, 1),
                                              pl.ds(jb0, KBLK)]
-                            cols = jb0.astype(jnp.float32) + iota_k2
+                            cols = jb0.astype(jnp.float32) + iota_kg
                             wxf = jnp.maximum(0.0,
                                               1.0 - jnp.abs(cols - xcat))
                             wxf = jnp.where(cols >= jlo.astype(jnp.float32),
@@ -559,10 +566,10 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
                         return jax.lax.dot_general(
                             slab, wx, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=precision)             # (BAND*C, 2*TW)
+                            precision=precision)             # (BAND*C, G*TW)
 
-                    def block(start, masked, yrow0=yrow0, yrow1=yrow1,
-                              jb8=jb8, kex=kex, hwin=hwin):
+                    def block(start, masked, yrows=yrows, jb8=jb8, kex=kex,
+                              hwin=hwin):
                         hw = hwin(start, jb8, None)
 
                         def hextra(k, a, start=start, jb8=jb8, hwin=hwin):
@@ -573,72 +580,74 @@ def _make_cost_kernel_preload_pair(view_count_minus_1: int, H: int, W: int,
                         if KBLK < W:
                             hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
                         rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
-                        rw0 = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow0))
-                        rw1 = jnp.maximum(0.0, 1.0 - jnp.abs(rows - yrow1))
+                        keep = None
                         if masked is not None:
                             lo, hi = masked
                             keep = ((rows >= lo.astype(jnp.float32))
                                     & (rows <= hi.astype(jnp.float32)))
-                            rw0 = jnp.where(keep, rw0, 0.0)
-                            rw1 = jnp.where(keep, rw1, 0.0)
-                        a0 = rw0[0:1, :] * hw[0:C, 0:TW]
-                        a1 = rw1[0:1, :] * hw[0:C, TW:2 * TW]
-                        for r in range(1, BAND):
-                            a0 = a0 + rw0[r:r + 1, :] * hw[r * C:(r + 1) * C,
-                                                           0:TW]
-                            a1 = a1 + rw1[r:r + 1, :] * hw[r * C:(r + 1) * C,
-                                                           TW:2 * TW]
-                        return a0, a1                        # (C, TW) x2
+                        accs = []
+                        for g in range(G):
+                            rw = jnp.maximum(0.0,
+                                             1.0 - jnp.abs(rows - yrows[g]))
+                            if keep is not None:
+                                rw = jnp.where(keep, rw, 0.0)
+                            a = rw[0:1, :] * hw[0:C, g * TW:(g + 1) * TW]
+                            for r in range(1, BAND):
+                                a = a + (rw[r:r + 1, :]
+                                         * hw[r * C:(r + 1) * C,
+                                              g * TW:(g + 1) * TW])
+                            accs.append(a)
+                        return tuple(accs)                   # (C, TW) x G
 
-                    # straight-line BAND blocks cover the pair's union
-                    # span (~11 rows at realistic rigs): two at BAND=8,
-                    # one at BAND>=12 (_STATIC2); residual masked blocks
-                    # are zero-trip
-                    w0, w1 = block(rbase, None)
+                    # straight-line BAND blocks cover the group's union
+                    # span (~11 rows for pairs, ~13 for quads at realistic
+                    # rigs): two at BAND=8, one at BAND>=12 (_STATIC2);
+                    # residual masked blocks are zero-trip
+                    w = list(block(rbase, None))
                     if _STATIC2:
                         lo1 = rbase + BAND
-                        e0, e1 = block(jnp.minimum(lo1, H - BAND),
-                                       (lo1, lo1 + (BAND - 1)))
-                        w0, w1 = w0 + e0, w1 + e1
+                        e = block(jnp.minimum(lo1, H - BAND),
+                                  (lo1, lo1 + (BAND - 1)))
+                        w = [a + b for a, b in zip(w, e)]
 
                     def extra(k, acc, rbase=rbase, block=block):
                         lo = rbase + k * BAND
                         start = jnp.minimum(lo, H - BAND)
-                        e0, e1 = block(start, (lo, lo + (BAND - 1)))
-                        return (acc[0] + e0, acc[1] + e1)
+                        e = block(start, (lo, lo + (BAND - 1)))
+                        return tuple(a + b for a, b in zip(acc, e))
 
-                    w0, w1 = jax.lax.fori_loop(2 if _STATIC2 else 1,
-                                               nex + 1, extra, (w0, w1))
-                    tiles0.append(w0)
-                    tiles1.append(w1)
+                    w = jax.lax.fori_loop(2 if _STATIC2 else 1,
+                                          nex + 1, extra, tuple(w))
+                    for g in range(G):
+                        tiles[g].append(w[g])
 
-                wd0 = tiles0[0] if NT == 1 else jnp.concatenate(tiles0, axis=1)
-                wd1 = tiles1[0] if NT == 1 else jnp.concatenate(tiles1, axis=1)
-                if s0 is None:
-                    s0, q0 = wd0, wd0 * wd0
-                    s1, q1 = wd1, wd1 * wd1
-                else:
-                    s0, q0 = s0 + wd0, q0 + wd0 * wd0
-                    s1, q1 = s1 + wd1, q1 + wd1 * wd1
+                for g in range(G):
+                    wd = (tiles[g][0] if NT == 1
+                          else jnp.concatenate(tiles[g], axis=1))
+                    if sums[g] is None:
+                        sums[g], sqs[g] = wd, wd * wd
+                    else:
+                        sums[g] = sums[g] + wd
+                        sqs[g] = sqs[g] + wd * wd
 
-            for yy, ss, qq in ((y0, s0, q0), (y1, s1, q1)):
-                ref_row = reft_ref[yy].astype(jnp.float32)   # (C, W)
-                ss = ss + ref_row
-                qq = qq + ref_row * ref_row
+            for g in range(G):
+                ref_row = reft_ref[ys[g]].astype(jnp.float32)  # (C, W)
+                ss = sums[g] + ref_row
+                qq = sqs[g] + ref_row * ref_row
                 mean = ss / view_num
                 cost = qq / view_num - mean * mean
-                out_ref[0, yy] = cost.astype(out_ref.dtype)
+                out_ref[0, ys[g]] = cost.astype(out_ref.dtype)
 
     return kernel
 
 
-def _pair_tables(x, y, H, W, NT, KBLK, rows_blocks):
-    """Per-(view, depth, PAIR, tile) band/window tables (SMEM layout
-    (Vm1, D, RB, NT, ROWS_PER_CELL // 2))."""
+def _group_tables(x, y, H, W, NT, KBLK, rows_blocks, G):
+    """Per-(view, depth, GROUP, tile) band/window tables (SMEM layout
+    (Vm1, D, RB, NT, ROWS_PER_CELL // G))."""
     Vm1, D, rows = y.shape[:3]
     TW = W // NT
-    y2 = y.reshape(Vm1, D, rows // 2, 2, NT, TW)
-    x2 = x.reshape(Vm1, D, rows // 2, 2, NT, TW)
+    y2 = y.reshape(Vm1, D, rows // G, G, NT, TW)
+    x2 = x.reshape(Vm1, D, rows // G, G, NT, TW)
     r0f = jnp.floor(y2)
     rlo = jnp.clip(jnp.min(r0f, axis=(3, 5)), 0.0, float(H - 1))
     rhi = jnp.clip(jnp.max(r0f, axis=(3, 5)) + 1.0, 0.0, float(H - 1))
@@ -651,31 +660,48 @@ def _pair_tables(x, y, H, W, NT, KBLK, rows_blocks):
     kextra = jnp.maximum(0, (jhi.astype(jnp.int32) - jb8 * 8) // KBLK)
 
     def tbl(a):                      # (Vm1, D, P, NT) -> (.., RB, NT, RP)
-        rp = ROWS_PER_CELL // 2
+        rp = ROWS_PER_CELL // G
         a = a.reshape(Vm1, D, rows_blocks, rp, NT)
         return jnp.transpose(a, (0, 1, 2, 4, 3))
 
     return tbl(rbase), tbl(nextra), tbl(jb8), tbl(kextra)
 
 
-def _preload_pair_cchunk(height, width, channels, view_count_minus_1,
-                         dtype=jnp.bfloat16) -> int:
-    """Pair kernel uses the SAME BAND-row slab tables/VMEM budget as the
-    single-row preload; it only additionally needs even row pairs and
-    lane-splittable W."""
-    if (ROWS_PER_CELL % 2 != 0 or width % 16 != 0
+def _preload_group_cchunk(height, width, channels, view_count_minus_1, G,
+                          dtype=jnp.bfloat16) -> int:
+    """Group kernel uses the SAME BAND-row slab tables/VMEM budget as the
+    single-row preload; it only additionally needs G-divisible row cells
+    and G-way lane-splittable W."""
+    if (G < 2 or ROWS_PER_CELL % G != 0 or width % (8 * G) != 0
             or height < (2 * BAND if _STATIC2 else BAND)):
         return 0
     return _preload_cchunk(height, width, channels, view_count_minus_1,
                            dtype)
 
 
-def _preload_call_pair(ref_feature, view_features, x, y, tables, H, W,
-                       out_rows, NT, KBLK, Vm1, interpret, cw_out=False):
+def _group_params(height, width, channels, view_count_minus_1,
+                  dtype=jnp.bfloat16):
+    """(G, cchunk) for the best eligible group size (G=1/cchunk=0: none).
+
+    Falls back 4 -> 2 when the requested _GROUP fails eligibility (e.g.
+    W=400 is pair- but not quad-splittable)."""
+    g = _GROUP
+    while g >= 2:
+        c = _preload_group_cchunk(height, width, channels,
+                                  view_count_minus_1, g, dtype)
+        if c:
+            return g, c
+        g //= 2
+    return 1, 0
+
+
+def _preload_call_group(ref_feature, view_features, x, y, tables, H, W,
+                        out_rows, NT, KBLK, Vm1, interpret, cw_out=False,
+                        G=2):
     D = x.shape[1]
     C = ref_feature.shape[-1]
     rows_blocks = out_rows // ROWS_PER_CELL
-    rp = ROWS_PER_CELL // 2
+    rp = ROWS_PER_CELL // G
     cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
     reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
 
@@ -684,7 +710,7 @@ def _preload_call_pair(ref_feature, view_features, x, y, tables, H, W,
                              lambda d, rb: (0, d, rb, 0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        _make_cost_kernel_preload_pair(Vm1, H, W, NT, KBLK),
+        _make_cost_kernel_preload_group(Vm1, H, W, NT, KBLK, G),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
@@ -840,13 +866,12 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
     x, y = jax.vmap(coords)(homographies)            # (Vm1, D, rows, W) f32
     rows_blocks = out_rows // ROWS_PER_CELL
 
-    pair_cchunk = (_preload_pair_cchunk(H, W, C, Vm1, view_features.dtype)
-                   if _PAIR else 0)
-    if pair_cchunk:
+    G, group_cchunk = _group_params(H, W, C, Vm1, view_features.dtype)
+    if group_cchunk:
         NT, TW, KBLK = _tile_params_pair(W)
-        tables = _pair_tables(x, y, H, W, NT, KBLK, rows_blocks)
-        call = _preload_call_pair
-        cchunk = pair_cchunk
+        tables = _group_tables(x, y, H, W, NT, KBLK, rows_blocks, G)
+        call = functools.partial(_preload_call_group, G=G)
+        cchunk = group_cchunk
     else:
         NT, TW, KBLK = _tile_params(W)
         xt = x.reshape(Vm1, D, out_rows, NT, TW)
@@ -1161,7 +1186,7 @@ def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
     # The slab tables C-chunk to fit VMEM at any view count (the Vm1<=2
     # cap was round-2a conservatism; the C-chunked preload beat blockres
     # 2.6x on-chip at Vm1=2 and the per-chunk coord recompute is cheap).
-    if ((_PAIR and _preload_pair_cchunk(H, W, C, Vm1, view_features.dtype))
+    if (_group_params(H, W, C, Vm1, view_features.dtype)[1]
             or _preload_cchunk(H, W, C, Vm1, view_features.dtype)):
         return _pallas_cost_volume_preload(ref_feature, view_features,
                                            homographies, interpret=interpret,

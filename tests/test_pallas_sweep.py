@@ -130,7 +130,9 @@ def test_fused_cost_volume_pair_rows(monkeypatch, pair):
                           make_homs(D, rot=-0.05)])
         assert sweep._PAIR == (pair == "1")
         if pair == "1":
-            assert sweep._preload_pair_cchunk(H, W, C, Vm1, jnp.float32) > 0
+            # default group size is 4 since the r3b chip A/B; W=256 is
+            # quad-splittable so the quad kernel dispatches
+            assert sweep._group_params(H, W, C, Vm1, jnp.float32) == (4, C)
         got = sweep._pallas_cost_volume_preload(ref, views, homs,
                                                 interpret=True)
         expected = plane_sweep_cost_volume(ref[None], views[:, None],
@@ -139,6 +141,42 @@ def test_fused_cost_volume_pair_rows(monkeypatch, pair):
                                    atol=1e-4, rtol=1e-4)
     finally:
         monkeypatch.delenv("MVSNET_TPU_SWEEP_PAIR")
+        importlib.reload(sweep)
+
+
+@pytest.mark.parametrize("group,width", [("4", 256), ("4", 272), ("8", 256)])
+def test_fused_cost_volume_group_rows(monkeypatch, group, width):
+    """MVSNET_TPU_SWEEP_GROUP=4/8: G adjacent output rows share one tent
+    matrix + vertical blocks. W=272 is pair- but not quad-splittable
+    (272 % 32 != 0) — _group_params must fall back to G=2. Strong
+    zoom+rotation forces the masked nextra/kextra extras to really run
+    over the G-row union span."""
+    import importlib
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_GROUP", group)
+    importlib.reload(sweep)
+    try:
+        rng = np.random.default_rng(17)
+        H, W, C, D, Vm1 = 32, width, 8, 3, 2
+        expect_g = int(group) if W % (8 * int(group)) == 0 else 2
+        assert sweep._group_params(H, W, C, Vm1, jnp.float32)[0] == expect_g
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)),
+                            jnp.float32)
+        homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25,
+                                    shift_range=30.0),
+                          make_homs(D, rot=-0.05)])
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+        expected = plane_sweep_cost_volume(ref[None], views[:, None],
+                                           homs[:, None])[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_GROUP")
         importlib.reload(sweep)
 
 
