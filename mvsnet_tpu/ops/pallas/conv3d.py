@@ -31,11 +31,26 @@ Reference semantics: SAME 3x3x3 stride-1 conv, NDHWC x DHWIO
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Software-pipeline the per-row tap matmuls: issue P(y+2) at iteration y
+# so the VPU staging work never waits on the matmul just pushed into the
+# MXU. Chip A/B (bench_logs/r3b_pipe_ab.log, bracketed): a small but
+# consistent win (0_1 13.89/13.86 -> 13.66 ms, 6_2 6.07 -> 6.00,
+# 1_1 2.44/2.51 -> 2.40; s2 within noise) — ~1.6%, i.e. the per-row
+# fixed cost is NOT an MXU-wait stall; suspicion moves to the scalar
+# core's dynamic-slice address work (see _FSTORE).
+_PIPE = _os.environ.get("MVSNET_TPU_CONV3D_PIPE", "1") not in ("0", "")
+# Fuse the three per-dz staging stores into ONE per-row store: dz_ref
+# becomes (H', 3*Cout, W') with the dz slots concatenated on sublanes,
+# cutting the per-row dynamic stores 3 -> 1 (the slab accumulate reads
+# static sublane slices instead). Default OFF until chip-validated.
+_FSTORE = _os.environ.get("MVSNET_TPU_CONV3D_FSTORE", "0") not in ("0", "")
 
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -94,8 +109,9 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int,
         def _():
             w = w_ref[...]
 
-            def tap_matmul(i):
-                # P(i)[(dz,dy,co), x] for source row i (zeros past the edge)
+            def tap_matmul(i, zero_edge=True):
+                # P(i)[(dz,dy,co), x] for source row i (zeros past the edge
+                # unless the caller defers that to use time)
                 x = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(C, W)
                 zero = jnp.zeros((C, 1), x.dtype)
                 # dx shifts run along LANES of the (C, W) row
@@ -105,30 +121,71 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int,
                 P = jax.lax.dot_general(
                     w, cat, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (9*Cout, W)
-                return jnp.where(i < H, P, 0.0)
+                return jnp.where(i < H, P, 0.0) if zero_edge else P
 
             # P-ring over output rows: out(y) reads P(y-1), P(y), P(y+1),
             # so each source row is matmul'ed ONCE and each staging row is
             # written ONCE (no read-modify-write, no zeroing pass).
-            def row(y, carry):
-                p_prev, p_cur = carry                        # P(y-1), P(y)
-                p_next = tap_matmul(y + 1)
-                for dz in range(3):
-                    acc = (p_prev[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
-                           + p_cur[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
-                           + p_next[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout])
-                    dz_ref[dz, pl.ds(y, 1)] = acc[None]
-                return p_cur, p_next
+            def stage(y, accs):
+                # one dynamic store per row when _FSTORE (dz slots ride
+                # sublanes); three otherwise
+                if _FSTORE:
+                    dz_ref[pl.ds(y, 1)] = jnp.concatenate(accs,
+                                                          axis=0)[None]
+                else:
+                    for dz in range(3):
+                        dz_ref[dz, pl.ds(y, 1)] = accs[dz][None]
 
-            p0 = jnp.zeros((9 * Cout, W), jnp.float32)
-            jax.lax.fori_loop(0, H, row, (p0, tap_matmul(0)))
+            if _PIPE:
+                # software-pipelined edition: the matmul for row y+2 is
+                # ISSUED at iteration y and consumed at y+1, so the VPU
+                # staging work never waits on the matmul just pushed into
+                # the MXU. The edge zeroing moves to use time (only the
+                # dy=2 slices of P(y+1) can read past the last row).
+                def row(y, carry):
+                    p_prev, p_cur, p_next = carry    # P(y-1), P(y), P(y+1)
+                    p_next2 = tap_matmul(y + 2, zero_edge=False)
+                    accs = []
+                    for dz in range(3):
+                        dn = p_next[(dz * 3 + 2) * Cout:
+                                    (dz * 3 + 3) * Cout]
+                        dn = jnp.where(y + 1 < H, dn, 0.0)
+                        accs.append(p_prev[(dz * 3 + 0) * Cout:
+                                           (dz * 3 + 1) * Cout]
+                                    + p_cur[(dz * 3 + 1) * Cout:
+                                            (dz * 3 + 2) * Cout]
+                                    + dn)
+                    stage(y, accs)
+                    return p_cur, p_next, p_next2
+
+                p0 = jnp.zeros((9 * Cout, W), jnp.float32)
+                jax.lax.fori_loop(0, H, row,
+                                  (p0, tap_matmul(0, zero_edge=False),
+                                   tap_matmul(1, zero_edge=False)))
+            else:
+                def row(y, carry):
+                    p_prev, p_cur = carry            # P(y-1), P(y)
+                    p_next = tap_matmul(y + 1)
+                    accs = [p_prev[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
+                            + p_cur[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
+                            + p_next[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout]
+                            for dz in range(3)]
+                    stage(y, accs)
+                    return p_cur, p_next
+
+                p0 = jnp.zeros((9 * Cout, W), jnp.float32)
+                jax.lax.fori_loop(0, H, row, (p0, tap_matmul(0)))
 
             for dz in range(3):
                 z = g + 1 - dz
 
                 @pl.when((z >= 0) & (z < D))
                 def _(dz=dz, z=z):
-                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
+                    if _FSTORE:
+                        acc_ref[pl.ds(z % 3, 1)] += (
+                            dz_ref[:, dz * Cout:(dz + 1) * Cout][None])
+                    else:
+                        acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
 
         @pl.when(g > 0)
         def _():
@@ -206,6 +263,7 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
             def row(t, carry):
                 p_prev, p_cur = carry                        # P(t-1), P(t)
                 p_next = tap_matmul(t + 1)
+                accs = []
                 for dz in range(3):
                     # dy=0 taps: source rows shifted down one image row —
                     # lane-roll right by W, first packed row stitched from
@@ -220,8 +278,12 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
                         last_row,
                         pltpu.roll(blk(p_next, dz * 3 + 2), WP - W, 1),
                         pltpu.roll(blk(p_cur, dz * 3 + 2), WP - W, 1))
-                    acc = up + blk(p_cur, dz * 3 + 1) + dn
-                    dz_ref[dz, pl.ds(t, 1)] = acc[None]
+                    accs.append(up + blk(p_cur, dz * 3 + 1) + dn)
+                if _FSTORE:
+                    dz_ref[pl.ds(t, 1)] = jnp.concatenate(accs, axis=0)[None]
+                else:
+                    for dz in range(3):
+                        dz_ref[dz, pl.ds(t, 1)] = accs[dz][None]
                 return p_cur, p_next
 
             p0 = jnp.zeros((9 * Cout, WP), jnp.float32)
@@ -232,7 +294,11 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
 
                 @pl.when((z >= 0) & (z < D))
                 def _(dz=dz, z=z):
-                    acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
+                    if _FSTORE:
+                        acc_ref[pl.ds(z % 3, 1)] += (
+                            dz_ref[:, dz * Cout:(dz + 1) * Cout][None])
+                    else:
+                        acc_ref[pl.ds(z % 3, 1)] += dz_ref[dz:dz + 1]
 
         @pl.when(g > 0)
         def _():
@@ -276,7 +342,7 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
         def _():
             w = w_ref[...]
 
-            def tap_matmul(i):
+            def tap_matmul(i, zero_edge=True):
                 # x_ref comes pre-reshaped to (1, H, W/2, 2C) XLA-side: a
                 # (W, C) -> (W/2, 2C) shape cast inside the kernel is
                 # unsupported by Mosaic's layout inference.
@@ -288,21 +354,56 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
                 P = jax.lax.dot_general(
                     w, cat, (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (9*Cout, W2)
-                return jnp.where(i < H, P, 0.0)
+                return jnp.where(i < H, P, 0.0) if zero_edge else P
+
+            def stage(t, accs):
+                if _FSTORE:
+                    dz_ref[pl.ds(t, 1)] = jnp.concatenate(accs,
+                                                          axis=0)[None]
+                else:
+                    for dz in range(3):
+                        dz_ref[dz, pl.ds(t, 1)] = accs[dz][None]
 
             # out(t) reads source rows 2t+dy: P(2t) carried from the
             # previous iteration (as its P(2t'+2)), P(2t+1)/P(2t+2) fresh.
-            def row(t, p_even):
-                p_odd = tap_matmul(2 * t + 1)
-                p_nxt = tap_matmul(2 * t + 2)
-                for dz in range(3):
-                    acc = (p_even[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
-                           + p_odd[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
-                           + p_nxt[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout])
-                    dz_ref[dz, pl.ds(t, 1)] = acc[None]
-                return p_nxt
+            if _PIPE:
+                # pipelined: both fresh matmuls are issued one iteration
+                # ahead of their use (see the s1 kernel note). Only the
+                # dy=2 slices of P(2t+2) can read past the last source row
+                # (2t+1 <= H-1 always), so edge zeroing happens at use.
+                def row(t, carry):
+                    p_even, p_odd, p_nxt = carry
+                    p_odd2 = tap_matmul(2 * t + 3, zero_edge=False)
+                    p_nxt2 = tap_matmul(2 * t + 4, zero_edge=False)
+                    accs = []
+                    for dz in range(3):
+                        dn = p_nxt[(dz * 3 + 2) * Cout:
+                                   (dz * 3 + 3) * Cout]
+                        dn = jnp.where(2 * t + 2 < H, dn, 0.0)
+                        accs.append(p_even[(dz * 3 + 0) * Cout:
+                                           (dz * 3 + 1) * Cout]
+                                    + p_odd[(dz * 3 + 1) * Cout:
+                                            (dz * 3 + 2) * Cout]
+                                    + dn)
+                    stage(t, accs)
+                    return p_nxt, p_odd2, p_nxt2
 
-            jax.lax.fori_loop(0, H2, row, tap_matmul(0))
+                jax.lax.fori_loop(0, H2, row,
+                                  (tap_matmul(0, zero_edge=False),
+                                   tap_matmul(1, zero_edge=False),
+                                   tap_matmul(2, zero_edge=False)))
+            else:
+                def row(t, p_even):
+                    p_odd = tap_matmul(2 * t + 1)
+                    p_nxt = tap_matmul(2 * t + 2)
+                    accs = [p_even[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
+                            + p_odd[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
+                            + p_nxt[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout]
+                            for dz in range(3)]
+                    stage(t, accs)
+                    return p_nxt
+
+                jax.lax.fori_loop(0, H2, row, tap_matmul(0))
 
             for dz in range(3):
                 # z' = (g - dz) / 2 when parity matches
@@ -310,7 +411,11 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
                          & ((g - dz) // 2 < D // 2))
                 def _(dz=dz):
                     slot = pl.ds(((g - dz) // 2) % 2, 1)
-                    acc_ref[slot] += dz_ref[dz:dz + 1]
+                    if _FSTORE:
+                        acc_ref[slot] += (
+                            dz_ref[:, dz * Cout:(dz + 1) * Cout][None])
+                    else:
+                        acc_ref[slot] += dz_ref[dz:dz + 1]
 
         @pl.when((g >= 2) & (g % 2 == 0))
         def _():
@@ -388,8 +493,10 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
         out_spec = pl.BlockSpec((1, HP, cout, WP),
                                 lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+        dz_shape = ((HP, 3 * cout, WP) if _FSTORE
+                    else (3, HP, cout, WP))
         scratch = [pltpu.VMEM((3, HP, cout, WP), jnp.float32),
-                   pltpu.VMEM((3, HP, cout, WP), jnp.float32)]
+                   pltpu.VMEM(dz_shape, jnp.float32)]
         # channel-second-minor input + (9Cout, 3C) weights; PACK rows
         # ride the lane axis (lane = r*W + x)
         if not cw_in:
@@ -410,8 +517,10 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
         out_spec = pl.BlockSpec((1, H // 2, cout, W // 2),
                                 lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+        dz_shape = ((H // 2, 3 * cout, W // 2) if _FSTORE
+                    else (3, H // 2, cout, W // 2))
         scratch = [pltpu.VMEM((2, H // 2, cout, W // 2), jnp.float32),
-                   pltpu.VMEM((3, H // 2, cout, W // 2), jnp.float32)]
+                   pltpu.VMEM(dz_shape, jnp.float32)]
 
     if stride == 2:
         x = x.reshape(B, D, H, W // 2, 2 * C)
