@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvsnet_tpu.ops.pallas.conv3d import _unroll_for
+
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
@@ -78,24 +80,31 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
                 v = jnp.maximum(v, 0.0)
             return v.astype(out_ref.dtype)
 
-        def row(j, carry):
+        # UN source rows per fori iteration (manual unroll — Mosaic's
+        # per-iteration loop machinery costs ~210 ns; conv3d.py r3b A/Bs)
+        UN = _unroll_for(H)
+
+        def row(i, carry):
             p_prev, p_prev2 = carry                 # P(j-1), P(j-2)
-            p_cur = tap(j)
-            # out[j-1] = dy0 of P(j-2) + dy1 of P(j-1) + dy2 of P(j)
-            v = (p_prev2[0 * Cout:1 * Cout]
-                 + p_prev[1 * Cout:2 * Cout]
-                 + p_cur[2 * Cout:3 * Cout])
+            for r in range(UN):
+                j = i * UN + r
+                p_cur = tap(j)
+                # out[j-1] = dy0 P(j-2) + dy1 P(j-1) + dy2 P(j)
+                v = (p_prev2[0 * Cout:1 * Cout]
+                     + p_prev[1 * Cout:2 * Cout]
+                     + p_cur[2 * Cout:3 * Cout])
 
-            @pl.when(j >= 1)
-            def _():
-                out_ref[0, pl.ds(j - 1, 1)] = emit(v)[None]
+                @pl.when(j >= 1)
+                def _(j=j, v=v):
+                    out_ref[0, pl.ds(j - 1, 1)] = emit(v)[None]
 
-            return (p_cur, p_prev)
+                p_prev, p_prev2 = p_cur, p_prev
+            return (p_prev, p_prev2)
 
         # P(-1) = P(-2) = 0, derived from a live tap so the init carries
         # the body's vector layout (see docstring; NOT jnp.zeros)
         zP = tap(0) * 0.0
-        p_last, p_last2 = jax.lax.fori_loop(0, H, row, (zP, zP))
+        p_last, p_last2 = jax.lax.fori_loop(0, H // UN, row, (zP, zP))
         # bottom row: source row H would be zero padding
         out_ref[0, pl.ds(H - 1, 1)] = emit(
             p_last2[0 * Cout:1 * Cout] + p_last[1 * Cout:2 * Cout])[None]
@@ -153,27 +162,34 @@ def _make_kernel2d_packed(H: int, W: int, C: int, Cout: int, PACK: int,
                 v = jnp.maximum(v, 0.0)
             return v.astype(out_ref.dtype)
 
-        def row(t, carry):
+        UN = _unroll_for(HP)
+
+        def row(i, carry):
             p_prev, p_cur = carry                        # P(t-1), P(t)
-            p_next = tap(t + 1)
-            # dy=0 taps: source rows one image row up — lane-roll right by
-            # W; packed row 0 stitches from the previous packed group
-            up = jnp.where(first_row,
-                           pltpu.roll(blk(p_prev, 0), W, 1),
-                           pltpu.roll(blk(p_cur, 0), W, 1))
-            # dy=2 taps: one image row down (cyclic right by WP - W ==
-            # left by W; pltpu.roll wants shift >= 0)
-            dn = jnp.where(last_row,
-                           pltpu.roll(blk(p_next, 2), WP - W, 1),
-                           pltpu.roll(blk(p_cur, 2), WP - W, 1))
-            out_ref[0, pl.ds(t, 1)] = emit(up + blk(p_cur, 1) + dn)[None]
-            return p_cur, p_next
+            for r in range(UN):
+                t = i * UN + r
+                p_next = tap(t + 1)
+                # dy=0 taps: source rows one image row up — lane-roll
+                # right by W; packed row 0 stitches from the previous
+                # packed group
+                up = jnp.where(first_row,
+                               pltpu.roll(blk(p_prev, 0), W, 1),
+                               pltpu.roll(blk(p_cur, 0), W, 1))
+                # dy=2 taps: one image row down (cyclic right by WP - W
+                # == left by W; pltpu.roll wants shift >= 0)
+                dn = jnp.where(last_row,
+                               pltpu.roll(blk(p_next, 2), WP - W, 1),
+                               pltpu.roll(blk(p_cur, 2), WP - W, 1))
+                out_ref[0, pl.ds(t, 1)] = emit(up + blk(p_cur, 1)
+                                               + dn)[None]
+                p_prev, p_cur = p_cur, p_next
+            return p_prev, p_cur
 
         # P(-1) = 0 derived from a live tap, NOT a jnp.zeros splat: a
         # zeros-const init for a carry that gets strided-sliced in the
         # body crashes Mosaic at WP % 128 != 0 (see _make_kernel2d_carry)
         t0 = tap(0)
-        jax.lax.fori_loop(0, HP, row, (t0 * 0.0, t0))
+        jax.lax.fori_loop(0, HP // UN, row, (t0 * 0.0, t0))
 
     return kernel
 
@@ -276,20 +292,25 @@ def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int, K: int = 3,
                 v = jnp.maximum(v, 0.0)
             return v.astype(out_ref.dtype)
 
-        def row(t, carry):                # carry: P(2t) .. P(2t+K-3)
-            pa = tap(2 * t + K - 2)
-            pb = tap(2 * t + K - 1)
-            ps = carry + (pa, pb)
-            v = ps[0][0:Cout]
-            for dy in range(1, K):
-                v = v + ps[dy][dy * Cout:(dy + 1) * Cout]
-            out_ref[0, pl.ds(t, 1)] = emit(v)[None]
-            return ps[2:]
+        UN = _unroll_for(TB)
+
+        def row(i, carry):                # carry: P(2t) .. P(2t+K-3)
+            for r in range(UN):
+                t = i * UN + r
+                pa = tap(2 * t + K - 2)
+                pb = tap(2 * t + K - 1)
+                ps = carry + (pa, pb)
+                v = ps[0][0:Cout]
+                for dy in range(1, K):
+                    v = v + ps[dy][dy * Cout:(dy + 1) * Cout]
+                out_ref[0, pl.ds(t, 1)] = emit(v)[None]
+                carry = ps[2:]
+            return carry
 
         # carry inits are live tap results (NOT jnp.zeros splats) — safe
         # against the sliced-carry layout crash (see _make_kernel2d_carry)
         init = tuple(tap(i) for i in range(K - 2))
-        jax.lax.fori_loop(0, TB, row, init)
+        jax.lax.fori_loop(0, TB // UN, row, init)
 
     return kernel
 

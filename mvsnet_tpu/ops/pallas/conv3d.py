@@ -49,8 +49,26 @@ _PIPE = _os.environ.get("MVSNET_TPU_CONV3D_PIPE", "1") not in ("0", "")
 # Fuse the three per-dz staging stores into ONE per-row store: dz_ref
 # becomes (H', 3*Cout, W') with the dz slots concatenated on sublanes,
 # cutting the per-row dynamic stores 3 -> 1 (the slab accumulate reads
-# static sublane slices instead). Default OFF until chip-validated.
+# static sublane slices instead). Chip A/B (r3b_fstore_ab.log): LOSES
+# (0_1 14.2 -> 14.9, 1_1 2.38 -> 2.59) — refuted, default OFF.
 _FSTORE = _os.environ.get("MVSNET_TPU_CONV3D_FSTORE", "0") not in ("0", "")
+# Row-loop MANUAL unroll factor (rows per fori iteration): the
+# row-aspect probe (r3b_rowprobe.log) fits t = rows*210ns +
+# rows*W*0.44ns — if the 210 ns/row fixed cost is loop machinery,
+# unrolling divides it. Mosaic rejects fori_loop(unroll=k) for
+# 1 < k < num_steps, so the unroll is hand-rolled in the loop bodies.
+# The effective factor is the largest divisor of the row count <= the
+# knob, so any H works. Default 8: bracketed chip A/Bs
+# (r3b_munroll_ab/munroll3_ab logs) — 0_1 14.08 -> 7.0, s2 13.7 -> 9.9;
+# UN=24 trades +0.6 ms on s2 for -0.6 ms on 0_1 (tied in aggregate).
+_UNROLL = int(_os.environ.get("MVSNET_TPU_CONV3D_UNROLL", "8"))
+
+
+def _unroll_for(steps: int) -> int:
+    u = max(1, min(_UNROLL, steps))
+    while steps % u:
+        u -= 1
+    return u
 
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -142,24 +160,30 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int,
                 # staging work never waits on the matmul just pushed into
                 # the MXU. The edge zeroing moves to use time (only the
                 # dy=2 slices of P(y+1) can read past the last row).
-                def row(y, carry):
+                # UN rows per fori iteration (manual unroll, _UNROLL).
+                UN = _unroll_for(H)
+
+                def row(i, carry):
                     p_prev, p_cur, p_next = carry    # P(y-1), P(y), P(y+1)
-                    p_next2 = tap_matmul(y + 2, zero_edge=False)
-                    accs = []
-                    for dz in range(3):
-                        dn = p_next[(dz * 3 + 2) * Cout:
-                                    (dz * 3 + 3) * Cout]
-                        dn = jnp.where(y + 1 < H, dn, 0.0)
-                        accs.append(p_prev[(dz * 3 + 0) * Cout:
-                                           (dz * 3 + 1) * Cout]
-                                    + p_cur[(dz * 3 + 1) * Cout:
-                                            (dz * 3 + 2) * Cout]
-                                    + dn)
-                    stage(y, accs)
-                    return p_cur, p_next, p_next2
+                    for r in range(UN):
+                        y = i * UN + r
+                        p_next2 = tap_matmul(y + 2, zero_edge=False)
+                        accs = []
+                        for dz in range(3):
+                            dn = p_next[(dz * 3 + 2) * Cout:
+                                        (dz * 3 + 3) * Cout]
+                            dn = jnp.where(y + 1 < H, dn, 0.0)
+                            accs.append(p_prev[(dz * 3 + 0) * Cout:
+                                               (dz * 3 + 1) * Cout]
+                                        + p_cur[(dz * 3 + 1) * Cout:
+                                                (dz * 3 + 2) * Cout]
+                                        + dn)
+                        stage(y, accs)
+                        p_prev, p_cur, p_next = p_cur, p_next, p_next2
+                    return p_prev, p_cur, p_next
 
                 p0 = jnp.zeros((9 * Cout, W), jnp.float32)
-                jax.lax.fori_loop(0, H, row,
+                jax.lax.fori_loop(0, H // UN, row,
                                   (p0, tap_matmul(0, zero_edge=False),
                                    tap_matmul(1, zero_edge=False)))
             else:
@@ -260,34 +284,41 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
             def blk(P, i):
                 return P[i * Cout:(i + 1) * Cout]            # (Cout, WP)
 
-            def row(t, carry):
+            UN = _unroll_for(HP)
+
+            def row(i, carry):
                 p_prev, p_cur = carry                        # P(t-1), P(t)
-                p_next = tap_matmul(t + 1)
-                accs = []
-                for dz in range(3):
-                    # dy=0 taps: source rows shifted down one image row —
-                    # lane-roll right by W, first packed row stitched from
-                    # the previous group's last row
-                    up = jnp.where(
-                        first_row,
-                        pltpu.roll(blk(p_prev, dz * 3), W, 1),
-                        pltpu.roll(blk(p_cur, dz * 3), W, 1))
-                    # dy=2 taps: shifted up one image row (cyclic right by
-                    # WP - W == left by W; pltpu.roll wants shift >= 0)
-                    dn = jnp.where(
-                        last_row,
-                        pltpu.roll(blk(p_next, dz * 3 + 2), WP - W, 1),
-                        pltpu.roll(blk(p_cur, dz * 3 + 2), WP - W, 1))
-                    accs.append(up + blk(p_cur, dz * 3 + 1) + dn)
-                if _FSTORE:
-                    dz_ref[pl.ds(t, 1)] = jnp.concatenate(accs, axis=0)[None]
-                else:
+                for r in range(UN):
+                    t = i * UN + r
+                    p_next = tap_matmul(t + 1)
+                    accs = []
                     for dz in range(3):
-                        dz_ref[dz, pl.ds(t, 1)] = accs[dz][None]
-                return p_cur, p_next
+                        # dy=0 taps: source rows shifted down one image
+                        # row — lane-roll right by W, first packed row
+                        # stitched from the previous group's last row
+                        up = jnp.where(
+                            first_row,
+                            pltpu.roll(blk(p_prev, dz * 3), W, 1),
+                            pltpu.roll(blk(p_cur, dz * 3), W, 1))
+                        # dy=2 taps: shifted up one image row (cyclic
+                        # right by WP - W == left by W; pltpu.roll wants
+                        # shift >= 0)
+                        dn = jnp.where(
+                            last_row,
+                            pltpu.roll(blk(p_next, dz * 3 + 2), WP - W, 1),
+                            pltpu.roll(blk(p_cur, dz * 3 + 2), WP - W, 1))
+                        accs.append(up + blk(p_cur, dz * 3 + 1) + dn)
+                    if _FSTORE:
+                        dz_ref[pl.ds(t, 1)] = jnp.concatenate(accs,
+                                                              axis=0)[None]
+                    else:
+                        for dz in range(3):
+                            dz_ref[dz, pl.ds(t, 1)] = accs[dz][None]
+                    p_prev, p_cur = p_cur, p_next
+                return p_prev, p_cur
 
             p0 = jnp.zeros((9 * Cout, WP), jnp.float32)
-            jax.lax.fori_loop(0, HP, row, (p0, tap_matmul(0)))
+            jax.lax.fori_loop(0, HP // UN, row, (p0, tap_matmul(0)))
 
             for dz in range(3):
                 z = g + 1 - dz
@@ -371,24 +402,29 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
                 # ahead of their use (see the s1 kernel note). Only the
                 # dy=2 slices of P(2t+2) can read past the last source row
                 # (2t+1 <= H-1 always), so edge zeroing happens at use.
-                def row(t, carry):
-                    p_even, p_odd, p_nxt = carry
-                    p_odd2 = tap_matmul(2 * t + 3, zero_edge=False)
-                    p_nxt2 = tap_matmul(2 * t + 4, zero_edge=False)
-                    accs = []
-                    for dz in range(3):
-                        dn = p_nxt[(dz * 3 + 2) * Cout:
-                                   (dz * 3 + 3) * Cout]
-                        dn = jnp.where(2 * t + 2 < H, dn, 0.0)
-                        accs.append(p_even[(dz * 3 + 0) * Cout:
-                                           (dz * 3 + 1) * Cout]
-                                    + p_odd[(dz * 3 + 1) * Cout:
-                                            (dz * 3 + 2) * Cout]
-                                    + dn)
-                    stage(t, accs)
-                    return p_nxt, p_odd2, p_nxt2
+                UN = _unroll_for(H2)
 
-                jax.lax.fori_loop(0, H2, row,
+                def row(i, carry):
+                    p_even, p_odd, p_nxt = carry
+                    for r in range(UN):
+                        t = i * UN + r
+                        p_odd2 = tap_matmul(2 * t + 3, zero_edge=False)
+                        p_nxt2 = tap_matmul(2 * t + 4, zero_edge=False)
+                        accs = []
+                        for dz in range(3):
+                            dn = p_nxt[(dz * 3 + 2) * Cout:
+                                       (dz * 3 + 3) * Cout]
+                            dn = jnp.where(2 * t + 2 < H, dn, 0.0)
+                            accs.append(p_even[(dz * 3 + 0) * Cout:
+                                               (dz * 3 + 1) * Cout]
+                                        + p_odd[(dz * 3 + 1) * Cout:
+                                                (dz * 3 + 2) * Cout]
+                                        + dn)
+                        stage(t, accs)
+                        p_even, p_odd, p_nxt = p_nxt, p_odd2, p_nxt2
+                    return p_even, p_odd, p_nxt
+
+                jax.lax.fori_loop(0, H2 // UN, row,
                                   (tap_matmul(0, zero_edge=False),
                                    tap_matmul(1, zero_edge=False),
                                    tap_matmul(2, zero_edge=False)))

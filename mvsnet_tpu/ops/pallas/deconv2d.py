@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvsnet_tpu.ops.pallas.conv3d import _unroll_for
+
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
@@ -73,18 +75,23 @@ def _make_kernel(HB: int, W: int, C: int, Cout: int,
                 v = jnp.maximum(v, 0.0)
             return v.astype(out_ref.dtype)
 
-        def row(j, _):
-            x = x_ref[0, pl.ds(j, 1)].reshape(C, W)
-            P = jax.lax.dot_general(
-                w, x, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (9*Cout, W)
-            prev = carry_ref[0]                        # dy=2 of row j-1
-            out_ref[0, pl.ds(2 * j, 1)] = emit(combine_dx(P, 0) + prev)[None]
-            out_ref[0, pl.ds(2 * j + 1, 1)] = emit(combine_dx(P, 1))[None]
-            carry_ref[0] = combine_dx(P, 2)
+        UN = _unroll_for(HB)
+
+        def row(i, _):
+            for r in range(UN):
+                j = i * UN + r
+                x = x_ref[0, pl.ds(j, 1)].reshape(C, W)
+                P = jax.lax.dot_general(
+                    w, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (9*Cout, W)
+                prev = carry_ref[0]                      # dy=2 of row j-1
+                out_ref[0, pl.ds(2 * j, 1)] = emit(combine_dx(P, 0)
+                                                   + prev)[None]
+                out_ref[0, pl.ds(2 * j + 1, 1)] = emit(combine_dx(P, 1))[None]
+                carry_ref[0] = combine_dx(P, 2)
             return 0
 
-        jax.lax.fori_loop(0, HB, row, 0)
+        jax.lax.fori_loop(0, HB // UN, row, 0)
 
     return kernel
 

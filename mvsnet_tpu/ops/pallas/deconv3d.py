@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvsnet_tpu.ops.pallas.conv3d import _unroll_for
+
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=_VMEM_LIMIT)
@@ -87,35 +89,44 @@ def _make_kernel(D: int, H: int, W: int, C: int, Cout: int,
                 w, x, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (27*Cout, W)
 
-        def row(j, p_prev):
-            # output rows 2j (dy=0 of src j + dy=2 of src j-1) and 2j+1
-            # (dy=1 of src j), for each target slab dz.
-            p_cur = tap_matmul(j)
-            for dz in range(3):
-                r_even = combine_dx(*(blk(p_cur, dz, 0, dx)
-                                      + blk(p_prev, dz, 2, dx)
-                                      for dx in range(3)))
-                r_odd = combine_dx(*(blk(p_cur, dz, 1, dx)
-                                     for dx in range(3)))
-                if dz == 0:
-                    # slab 2g: read the dz=2 carry staged by cell g-1
-                    out_ref[0, pl.ds(2 * j, 1)] = emit(
-                        r_even + carry_ref[pl.ds(2 * j, 1)].reshape(
-                            Cout, 2 * W))[None]
-                    out_ref[0, pl.ds(2 * j + 1, 1)] = emit(
-                        r_odd + carry_ref[pl.ds(2 * j + 1, 1)].reshape(
-                            Cout, 2 * W))[None]
-                elif dz == 1:
-                    out_ref[1, pl.ds(2 * j, 1)] = emit(r_even)[None]
-                    out_ref[1, pl.ds(2 * j + 1, 1)] = emit(r_odd)[None]
-                else:
-                    # stage dz=2 for slab 2g+2 (read back at dz=0 above —
-                    # same rows were read earlier this iteration)
-                    carry_ref[pl.ds(2 * j, 1)] = r_even[None]
-                    carry_ref[pl.ds(2 * j + 1, 1)] = r_odd[None]
-            return p_cur
+        # UN source rows per fori iteration (manual unroll — Mosaic's
+        # per-iteration loop machinery costs ~210 ns, r3b_rowprobe.log)
+        UN = _unroll_for(H)
 
-        jax.lax.fori_loop(0, H, row, jnp.zeros((27 * Cout, W), jnp.float32))
+        def row(i, p_prev):
+            for r in range(UN):
+                j = i * UN + r
+                # output rows 2j (dy=0 of src j + dy=2 of src j-1) and
+                # 2j+1 (dy=1 of src j), for each target slab dz.
+                p_cur = tap_matmul(j)
+                for dz in range(3):
+                    r_even = combine_dx(*(blk(p_cur, dz, 0, dx)
+                                          + blk(p_prev, dz, 2, dx)
+                                          for dx in range(3)))
+                    r_odd = combine_dx(*(blk(p_cur, dz, 1, dx)
+                                         for dx in range(3)))
+                    if dz == 0:
+                        # slab 2g: read the dz=2 carry staged by cell g-1
+                        out_ref[0, pl.ds(2 * j, 1)] = emit(
+                            r_even + carry_ref[pl.ds(2 * j, 1)].reshape(
+                                Cout, 2 * W))[None]
+                        out_ref[0, pl.ds(2 * j + 1, 1)] = emit(
+                            r_odd + carry_ref[pl.ds(2 * j + 1, 1)].reshape(
+                                Cout, 2 * W))[None]
+                    elif dz == 1:
+                        out_ref[1, pl.ds(2 * j, 1)] = emit(r_even)[None]
+                        out_ref[1, pl.ds(2 * j + 1, 1)] = emit(r_odd)[None]
+                    else:
+                        # stage dz=2 for slab 2g+2 (read back at dz=0
+                        # above — same rows were read earlier this
+                        # iteration)
+                        carry_ref[pl.ds(2 * j, 1)] = r_even[None]
+                        carry_ref[pl.ds(2 * j + 1, 1)] = r_odd[None]
+                p_prev = p_cur
+            return p_prev
+
+        jax.lax.fori_loop(0, H // UN, row,
+                          jnp.zeros((27 * Cout, W), jnp.float32))
 
     return kernel
 
