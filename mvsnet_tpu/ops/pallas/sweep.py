@@ -671,8 +671,10 @@ def _preload_group_cchunk(height, width, channels, view_count_minus_1, G,
                           dtype=jnp.bfloat16) -> int:
     """Group kernel uses the SAME BAND-row slab tables/VMEM budget as the
     single-row preload; it only additionally needs G-divisible row cells
-    and G-way lane-splittable W."""
-    if (G < 2 or ROWS_PER_CELL % G != 0 or width % (8 * G) != 0
+    and pair-splittable W (W % 16 — the in-kernel lane concats/slices at
+    g*W offsets are static, and non-128-multiple offsets are the same
+    lowering class the pair kernel already runs at W=288/400)."""
+    if (G < 2 or ROWS_PER_CELL % G != 0 or width % 16 != 0
             or height < (2 * BAND if _STATIC2 else BAND)):
         return 0
     return _preload_cchunk(height, width, channels, view_count_minus_1,

@@ -144,13 +144,14 @@ def test_fused_cost_volume_pair_rows(monkeypatch, pair):
         importlib.reload(sweep)
 
 
-@pytest.mark.parametrize("group,width", [("4", 256), ("4", 272), ("8", 256)])
+@pytest.mark.parametrize("group,width", [("4", 256), ("4", 272), ("8", 256),
+                                         ("4", 400)])
 def test_fused_cost_volume_group_rows(monkeypatch, group, width):
     """MVSNET_TPU_SWEEP_GROUP=4/8: G adjacent output rows share one tent
-    matrix + vertical blocks. W=272 is pair- but not quad-splittable
-    (272 % 32 != 0) — _group_params must fall back to G=2. Strong
-    zoom+rotation forces the masked nextra/kextra extras to really run
-    over the G-row union span."""
+    matrix + vertical blocks. Eligibility is W % 16 == 0 at any G (the
+    GRU point W=400 class: lane offsets at non-128 multiples), so
+    W=272/408 take the quad too. Strong zoom+rotation forces the masked
+    nextra/kextra extras to really run over the G-row union span."""
     import importlib
 
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
@@ -161,7 +162,7 @@ def test_fused_cost_volume_group_rows(monkeypatch, group, width):
     try:
         rng = np.random.default_rng(17)
         H, W, C, D, Vm1 = 32, width, 8, 3, 2
-        expect_g = int(group) if W % (8 * int(group)) == 0 else 2
+        expect_g = int(group) if W % 16 == 0 else 2
         assert sweep._group_params(H, W, C, Vm1, jnp.float32)[0] == expect_g
         ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
         views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)),
