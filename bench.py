@@ -296,12 +296,23 @@ def main() -> int:
                 lambda: os.path.exists(sentinel) and os.remove(sentinel))
         except OSError:
             pass
-    if not _probe_chip():
-        print("bench.py: TPU tunnel unresponsive (probe timed out) — "
-              "no measurement possible", file=sys.stderr, flush=True)
-        if own_sentinel and os.path.exists(sentinel):  # os._exit skips atexit
-            os.remove(sentinel)
-        os._exit(2)
+    # The tunnel drops out for stretches (observed: minutes to hours).
+    # A round-end bench that exits immediately loses the round's number,
+    # so retry the probe for up to BENCH_TUNNEL_WAIT_S (default 30 min)
+    # before giving up.
+    deadline = time.time() + float(
+        os.environ.get("BENCH_TUNNEL_WAIT_S", "1800"))
+    while not _probe_chip():
+        if time.time() >= deadline:
+            print("bench.py: TPU tunnel unresponsive (probe timed out, "
+                  "retries exhausted) — no measurement possible",
+                  file=sys.stderr, flush=True)
+            if own_sentinel and os.path.exists(sentinel):
+                os.remove(sentinel)  # os._exit skips atexit
+            os._exit(2)
+        print("bench.py: tunnel down, retrying probe in 60 s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
     fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]
     try:
         result = fn()
