@@ -85,6 +85,25 @@ BAND = int(_os.environ.get("MVSNET_TPU_SWEEP_BAND", "8"))
 # VMEM un-chunked at the 3DCNN point under the 112 MiB limit, so the
 # horizontal tents are built once, not per C-chunk.
 _STATIC2 = (not _os.environ.get("MVSNET_TPU_SWEEP_DYNBAND")) and BAND < 12
+# A/B knob: build the horizontal tent's elementwise tail (abs / 1- / max)
+# in the slab dtype (bf16) instead of f32. The SUBTRACTION cols - x stays
+# f32 always (bf16 coords at |x|~W have ulp 1.0 — they destroy the tent);
+# only the already-small difference d (tent support is |d| < 1) is
+# downcast before the tail. Today the tent is computed in f32 and cast to
+# bf16 at the end, so the weights are bf16-rounded either way — this just
+# moves the cast before the 3 cheap ops. Win iff the VPU runs packed
+# bf16 elementwise at ~2x f32 rate (native bf16 tile is (16,128)).
+_TENT16 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_TENT16", "0")))
+
+
+def _tent_cols(cols_f32, x_f32, dtype):
+    """max(0, 1 - |cols - x|) with the sub in f32, tail in `dtype`."""
+    d = cols_f32 - x_f32
+    if _TENT16 and dtype != jnp.float32:
+        d = d.astype(dtype)
+        return jnp.maximum(jnp.asarray(0, dtype),
+                           jnp.asarray(1, dtype) - jnp.abs(d))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d)).astype(dtype)
 
 # v5e/v5p have 128 MiB VMEM per core; the compiler's default scoped-vmem
 # limit is 16 MiB, far below hardware. Raising it lets the fused kernel keep
@@ -540,8 +559,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         base_cols = iota_kg
                     else:
                         base_cols = (jb8 * 8).astype(jnp.float32) + iota_kg
-                    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(base_cols - xcat))
-                    wx0 = wx0.astype(src_dtype)              # (KBLK, G*TW)
+                    wx0 = _tent_cols(base_cols, xcat, src_dtype)
+                    # (KBLK, G*TW)
 
                     def hwin(start, jb8k, jlo, wx0=wx0, xcat=xcat, v=v,
                              jb8=jb8):
@@ -557,11 +576,9 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             slab = cats_vmem[v, pl.ds(start, 1),
                                              pl.ds(jb0, KBLK)]
                             cols = jb0.astype(jnp.float32) + iota_kg
-                            wxf = jnp.maximum(0.0,
-                                              1.0 - jnp.abs(cols - xcat))
-                            wxf = jnp.where(cols >= jlo.astype(jnp.float32),
-                                            wxf, 0.0)
-                            wx = wxf.astype(src_dtype)
+                            wxf = _tent_cols(cols, xcat, src_dtype)
+                            wx = jnp.where(cols >= jlo.astype(jnp.float32),
+                                           wxf, jnp.asarray(0, src_dtype))
                         slab = slab.reshape(KBLK, BAND * C)
                         return jax.lax.dot_general(
                             slab, wx, (((0,), (0,)), ((), ())),

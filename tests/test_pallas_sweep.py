@@ -181,6 +181,42 @@ def test_fused_cost_volume_group_rows(monkeypatch, group, width):
         importlib.reload(sweep)
 
 
+@pytest.mark.parametrize("tent16", ["0", "1"])
+def test_fused_cost_volume_group_bf16_tent16(monkeypatch, tent16):
+    """bf16 group kernel with the tent tail computed in bf16
+    (MVSNET_TPU_SWEEP_TENT16=1) vs f32-then-cast (=0). The subtraction
+    cols - x stays f32 in both; weights are bf16-rounded in both — the
+    two paths must agree with the XLA cost volume at bf16 tolerance."""
+    import importlib
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_TENT16", tent16)
+    importlib.reload(sweep)
+    try:
+        assert sweep._TENT16 == (tent16 == "1")
+        rng = np.random.default_rng(23)
+        H, W, C, D, Vm1 = 32, 256, 8, 3, 2
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)),
+                            jnp.bfloat16)
+        homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25,
+                                    shift_range=30.0),
+                          make_homs(D, rot=-0.05)])
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+        expected = plane_sweep_cost_volume(
+            ref[None].astype(jnp.float32), views[:, None].astype(jnp.float32),
+            homs[:, None])[0]
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(expected), atol=5e-2,
+                                   rtol=5e-2)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_TENT16")
+        importlib.reload(sweep)
+
+
 @pytest.mark.parametrize("band,pair", [("12", "1"), ("12", "0"),
                                        ("16", "1")])
 def test_fused_cost_volume_single_block_band(monkeypatch, band, pair):
