@@ -20,9 +20,11 @@ echo "=== waiting for tunnel $(date +%H:%M:%S)" >> "$LOG"
 until probe; do sleep 120; done
 echo "=== tunnel up $(date +%H:%M:%S)" >> "$LOG"
 
+git worktree remove --force "$SNAP" >/dev/null 2>&1
+git worktree prune >/dev/null 2>&1
 rm -rf "$SNAP"
 git worktree add --detach "$SNAP" HEAD >> "$LOG" 2>&1
-cd "$SNAP"
+cd "$SNAP" || { echo "FATAL: snapshot worktree failed" >> "$LOG"; exit 1; }
 # bench_extras.jsonl is written relative to the bench script's repo;
 # symlink the snapshot's bench_logs to the real one so extras persist
 rm -rf "$SNAP/bench_logs" && ln -s "$REPO/bench_logs" "$SNAP/bench_logs"
