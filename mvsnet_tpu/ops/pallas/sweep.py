@@ -499,10 +499,27 @@ _PAIR = _os.environ.get("MVSNET_TPU_SWEEP_PAIR", "1") not in ("0", "")
 # set of vertical blocks. 4 = default (chip A/B bench_logs/r3b_queue.log:
 # 71.1 ms vs pair's 82.6/82.8 bracket at the 3DCNN cost point — per-row
 # block/slab/call overhead halves vs pair and N = 4*288 = 1152 = 9*128
-# tiles exactly). Eligibility W % (8*G) == 0: the GRU point (W=400)
-# auto-falls back to the pair kernel (_group_params). 1/0 disables
-# (single-row kernel).
+# tiles exactly). Eligibility W % 16 == 0 with G-divisible row cells
+# (_preload_group_cchunk; relaxed from W % (8*G) in round 3 — the GRU
+# point W=400 now runs the quad kernel too, 85.8 -> 74.0 ms). 1/0
+# disables (single-row kernel).
 _GROUP = int(_os.environ.get("MVSNET_TPU_SWEEP_GROUP", "4")) if _PAIR else 1
+# A/B knob: bf16 vertical combine. The group kernel's roofline puts the
+# VPU — tent build + the 2*BAND broadcast-FMA taps per row — above the
+# MXU (~0.43 + 0.34 vs ~0.23 us/row-view at the 3DCNN point), so halving
+# the combine's element width targets the dominant term. The matmul
+# emits hw directly in the source dtype (MXU accumulates f32 internally
+# either way) and each tap FMA runs packed bf16; the per-(g,view) result
+# is cast back to f32 BEFORE the cross-view variance accumulation
+# (E[f^2]-E[f]^2 cancellation stays f32). Off by default until the chip
+# A/B and the quality gates say otherwise.
+_COMB16 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COMB16", "0")))
+# A/B knob: issue BOTH static vertical blocks' tap matmuls before either
+# block's vertical combine ([mm0, mm1, comb0, comb1] instead of
+# [mm0, comb0, mm1, comb1]). Mosaic schedules roughly in program order,
+# so the reorder lets the MXU run block 1's matmul underneath block 0's
+# VPU combine instead of serializing the units.
+_MM2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_MM2", "0")))
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
@@ -525,6 +542,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
         C = reft_ref.shape[1]
         src_dtype = cats_vmem.dtype
         precision = _precision_for(src_dtype)
+        hw_dtype = (src_dtype if (_COMB16 and src_dtype != jnp.float32)
+                    else jnp.float32)
 
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _():
@@ -582,11 +601,10 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         slab = slab.reshape(KBLK, BAND * C)
                         return jax.lax.dot_general(
                             slab, wx, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                            preferred_element_type=hw_dtype,
                             precision=precision)             # (BAND*C, G*TW)
 
-                    def block(start, masked, yrows=yrows, jb8=jb8, kex=kex,
-                              hwin=hwin):
+                    def hwfull(start, jb8=jb8, kex=kex, hwin=hwin):
                         hw = hwin(start, jb8, None)
 
                         def hextra(k, a, start=start, jb8=jb8, hwin=hwin):
@@ -596,6 +614,9 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
 
                         if KBLK < W:
                             hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
+                        return hw
+
+                    def vert(hw, start, masked, yrows=yrows):
                         rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
                         keep = None
                         if masked is not None:
@@ -608,24 +629,40 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                                              1.0 - jnp.abs(rows - yrows[g]))
                             if keep is not None:
                                 rw = jnp.where(keep, rw, 0.0)
+                            rw = rw.astype(hw.dtype)
                             a = rw[0:1, :] * hw[0:C, g * TW:(g + 1) * TW]
                             for r in range(1, BAND):
                                 a = a + (rw[r:r + 1, :]
                                          * hw[r * C:(r + 1) * C,
                                               g * TW:(g + 1) * TW])
-                            accs.append(a)
+                            # cross-view variance accumulation stays f32
+                            accs.append(a.astype(jnp.float32))
                         return tuple(accs)                   # (C, TW) x G
+
+                    def block(start, masked, hwfull=hwfull, vert=vert):
+                        return vert(hwfull(start), start, masked)
 
                     # straight-line BAND blocks cover the group's union
                     # span (~11 rows for pairs, ~13 for quads at realistic
                     # rigs): two at BAND=8, one at BAND>=12 (_STATIC2);
                     # residual masked blocks are zero-trip
-                    w = list(block(rbase, None))
-                    if _STATIC2:
+                    if _STATIC2 and _MM2:
+                        # both tap matmuls issue back-to-back so block 1's
+                        # MXU pass overlaps block 0's VPU combine
                         lo1 = rbase + BAND
-                        e = block(jnp.minimum(lo1, H - BAND),
-                                  (lo1, lo1 + (BAND - 1)))
-                        w = [a + b for a, b in zip(w, e)]
+                        start1 = jnp.minimum(lo1, H - BAND)
+                        hw0 = hwfull(rbase)
+                        hw1 = hwfull(start1)
+                        w0 = vert(hw0, rbase, None)
+                        e = vert(hw1, start1, (lo1, lo1 + (BAND - 1)))
+                        w = [a + b for a, b in zip(w0, e)]
+                    else:
+                        w = list(block(rbase, None))
+                        if _STATIC2:
+                            lo1 = rbase + BAND
+                            e = block(jnp.minimum(lo1, H - BAND),
+                                      (lo1, lo1 + (BAND - 1)))
+                            w = [a + b for a, b in zip(w, e)]
 
                     def extra(k, acc, rbase=rbase, block=block):
                         lo = rbase + k * BAND

@@ -217,6 +217,49 @@ def test_fused_cost_volume_group_bf16_tent16(monkeypatch, tent16):
         importlib.reload(sweep)
 
 
+@pytest.mark.parametrize("comb16,mm2,dtype", [
+    ("1", "0", jnp.bfloat16),   # bf16 vertical combine
+    ("0", "1", jnp.bfloat16),   # reordered block matmuls
+    ("1", "1", jnp.bfloat16),   # both
+    ("0", "1", jnp.float32),    # MM2 must be layout-only at f32
+])
+def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2, dtype):
+    """MVSNET_TPU_SWEEP_COMB16 (bf16 vertical combine, f32 variance
+    accumulation) and MVSNET_TPU_SWEEP_MM2 (both static blocks' tap
+    matmuls issued before either combine) against the XLA cost volume.
+    MM2 is a pure op reorder; COMB16 changes only the combine dtype."""
+    import importlib
+
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.pallas import sweep
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_COMB16", comb16)
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_MM2", mm2)
+    importlib.reload(sweep)
+    try:
+        assert sweep._COMB16 == (comb16 == "1")
+        assert sweep._MM2 == (mm2 == "1")
+        rng = np.random.default_rng(29)
+        H, W, C, D, Vm1 = 32, 256, 8, 3, 2
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), dtype)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), dtype)
+        homs = jnp.stack([make_homs(D, scale=1.8, rot=0.25,
+                                    shift_range=30.0),
+                          make_homs(D, rot=-0.05)])
+        got = sweep._pallas_cost_volume_preload(ref, views, homs,
+                                                interpret=True)
+        expected = plane_sweep_cost_volume(
+            ref[None].astype(jnp.float32), views[:, None].astype(jnp.float32),
+            homs[:, None])[0]
+        tol = 1e-4 if dtype == jnp.float32 else 5e-2
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(expected), atol=tol, rtol=tol)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_COMB16")
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_MM2")
+        importlib.reload(sweep)
+
+
 @pytest.mark.parametrize("band,pair", [("12", "1"), ("12", "0"),
                                        ("16", "1")])
 def test_fused_cost_volume_single_block_band(monkeypatch, band, pair):
