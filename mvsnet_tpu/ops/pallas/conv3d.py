@@ -52,6 +52,15 @@ _PIPE = _os.environ.get("MVSNET_TPU_CONV3D_PIPE", "1") not in ("0", "")
 # static sublane slices instead). Chip A/B (r3b_fstore_ab.log): LOSES
 # (0_1 14.2 -> 14.9, 1_1 2.38 -> 2.59) — refuted, default OFF.
 _FSTORE = _os.environ.get("MVSNET_TPU_CONV3D_FSTORE", "0") not in ("0", "")
+# D-pack (VERDICT r3 #4): process TWO consecutive depth slabs per grid
+# cell with their rows lane-concatenated, so one tap matmul / staging
+# store / loop iteration covers both slabs — the ~0.2-0.3 us/row fixed
+# cost (the dominant term of every full-res RegNet layer) halves per
+# output element. dx stays seam-masked lane shifts; dy stays the P-ring;
+# the dz scatter becomes 2 lane-rolls + 3 selects per row (a roll by W
+# swaps the two slabs' halves, which is exactly the odd-dz slab move).
+# Outputs emit 2 slabs/cell. Off by default until the chip A/B.
+_DPACK = _os.environ.get("MVSNET_TPU_CONV3D_DPACK", "0") not in ("0", "")
 # Row-loop MANUAL unroll factor (rows per fori iteration): the
 # row-aspect probe (r3b_rowprobe.log) fits t = rows*210ns +
 # rows*W*0.44ns — if the 210 ns/row fixed cost is loop machinery,
@@ -338,6 +347,163 @@ def _make_kernel_packed(D: int, H: int, W: int, C: int, Cout: int,
     return kernel
 
 
+def _make_kernel_dpack(D: int, H: int, W: int, C: int, Cout: int,
+                       has_bias: bool = False, relu: bool = False):
+    """D-pack edition (see _DPACK): grid cell g covers source slabs
+    2g and 2g+1, whose rows are lane-concatenated IN-KERNEL (no XLA-side
+    relayout) into (C, 2W) so every tap matmul, staging store, and loop
+    iteration serves two slabs.
+
+    Slab routing: a tap at depth offset dz from source slab 2g+q lands in
+    output slab z = 2g+q+1-dz, i.e. output PAIR g+delta with
+    delta in {-1, 0, +1} and a lane half that flips for odd (q - dz).
+    A cyclic lane-roll by W on the (Cout, 2W) row swaps the halves, so
+    the whole scatter is: roll A0 and A2 (the dz=0/2 dy-combined rows),
+    then select-merge into three per-delta staging rows. After the row
+    loop the three staged slabs accumulate into a 3-slot revolving PAIR
+    accumulator, and the finished pair g-1 is emitted as the cell's two
+    output slabs (static lane-half slices).
+    """
+    G = D // 2                       # source/output pairs
+
+    def kernel(x_ref, w_ref, *rest):
+        # x_ref: (2, H, C, W) source slabs (2g, 2g+1), channel-second-minor;
+        # w_ref: (9*Cout, 3*C); b_ref (when has_bias): (Cout, 2W) f32;
+        # out_ref: (2, H, Cout, W) output slabs (2(g-1), 2(g-1)+1);
+        # acc_ref: (3, H, Cout, 2W) f32 revolving PAIR accumulator,
+        #   slot(t) = t % 3; st_ref: (3, H, Cout, 2W) f32 per-delta staging
+        #   (index delta+1).
+        if has_bias:
+            b_ref, out_ref, acc_ref, st_ref = rest
+        else:
+            (out_ref, acc_ref, st_ref), b_ref = rest, None
+        g = pl.program_id(0)
+        W2 = 2 * W
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when(g > 0)
+        def _():
+            # slot((g+1) % 3) last held pair g-2, emitted at cell g-1
+            acc_ref[pl.ds((g + 1) % 3, 1)] = jnp.zeros((1, H, Cout, W2),
+                                                       jnp.float32)
+
+        @pl.when(g < G)
+        def _():
+            w = w_ref[...]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (C, W2), 1)
+            m_left = (lane % W != 0).astype(w.dtype)      # kill x=0 leak
+            m_right = (lane % W != W - 1).astype(w.dtype)
+            lane_o = jax.lax.broadcasted_iota(jnp.int32, (Cout, W2), 1)
+            first_half = lane_o < W
+
+            def tap_matmul(i, zero_edge=True):
+                xa = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(C, W)
+                xb = x_ref[1, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(C, W)
+                xq = jnp.concatenate([xa, xb], axis=1)        # (C, 2W)
+                zc = jnp.zeros((C, 1), xq.dtype)
+                left = jnp.concatenate([zc, xq[:, :W2 - 1]], axis=1)
+                right = jnp.concatenate([xq[:, 1:], zc], axis=1)
+                cat = jnp.concatenate(
+                    [left * m_left, xq, right * m_right], axis=0)  # (3C, 2W)
+                P = jax.lax.dot_general(
+                    w, cat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (9Cout, 2W)
+                return jnp.where(i < H, P, 0.0) if zero_edge else P
+
+            def stage(y, accs):
+                # dz routing: roll-by-W swaps the slab halves
+                a0r = pltpu.roll(accs[0], W, 1)
+                a2r = pltpu.roll(accs[2], W, 1)
+                zero = jnp.zeros_like(a0r)
+                st_ref[2, pl.ds(y, 1)] = jnp.where(first_half, a0r,
+                                                   zero)[None]
+                st_ref[1, pl.ds(y, 1)] = (accs[1] + jnp.where(
+                    first_half, a2r, a0r))[None]
+                st_ref[0, pl.ds(y, 1)] = jnp.where(first_half, zero,
+                                                   a2r)[None]
+
+            if _PIPE:
+                UN = _unroll_for(H)
+
+                def row(i, carry):
+                    p_prev, p_cur, p_next = carry    # P(y-1), P(y), P(y+1)
+                    for r in range(UN):
+                        y = i * UN + r
+                        p_next2 = tap_matmul(y + 2, zero_edge=False)
+                        accs = []
+                        for dz in range(3):
+                            dn = p_next[(dz * 3 + 2) * Cout:
+                                        (dz * 3 + 3) * Cout]
+                            dn = jnp.where(y + 1 < H, dn, 0.0)
+                            accs.append(p_prev[(dz * 3 + 0) * Cout:
+                                               (dz * 3 + 1) * Cout]
+                                        + p_cur[(dz * 3 + 1) * Cout:
+                                                (dz * 3 + 2) * Cout]
+                                        + dn)
+                        stage(y, accs)
+                        p_prev, p_cur, p_next = p_cur, p_next, p_next2
+                    return p_prev, p_cur, p_next
+
+                p0 = jnp.zeros((9 * Cout, W2), jnp.float32)
+                jax.lax.fori_loop(0, H // UN, row,
+                                  (p0, tap_matmul(0, zero_edge=False),
+                                   tap_matmul(1, zero_edge=False)))
+            else:
+                def row(y, carry):
+                    p_prev, p_cur = carry
+                    p_next = tap_matmul(y + 1)
+                    accs = [p_prev[(dz * 3 + 0) * Cout:(dz * 3 + 1) * Cout]
+                            + p_cur[(dz * 3 + 1) * Cout:(dz * 3 + 2) * Cout]
+                            + p_next[(dz * 3 + 2) * Cout:(dz * 3 + 3) * Cout]
+                            for dz in range(3)]
+                    stage(y, accs)
+                    return p_cur, p_next
+
+                p0 = jnp.zeros((9 * Cout, W2), jnp.float32)
+                jax.lax.fori_loop(0, H, row, (p0, tap_matmul(0)))
+
+            for delta in (-1, 0, 1):
+                t = g + delta
+
+                @pl.when((t >= 0) & (t < G))
+                def _(delta=delta, t=t):
+                    acc_ref[pl.ds(t % 3, 1)] += st_ref[delta + 1:delta + 2]
+
+        @pl.when(g > 0)
+        def _():
+            v = acc_ref[pl.ds((g - 1) % 3, 1)]           # (1, H, Cout, 2W)
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            v = v.astype(out_ref.dtype)
+            out_ref[0] = v[0, :, :, :W]
+            out_ref[1] = v[0, :, :, W:]
+
+    return kernel
+
+
+def rowconv3d_dpack_supported(D: int, H: int, W: int, C: int, Cout: int,
+                              dtype=jnp.bfloat16) -> bool:
+    """VMEM model for the D-pack s1 kernel (channel-second-minor; the
+    2W lane axis pads to a 128 multiple)."""
+    item = jnp.dtype(dtype).itemsize
+    w2pad = -(-(2 * W) // 128) * 128
+    wpad = -(-W // 128) * 128
+    copad = -(-Cout // 8) * 8
+    cpad = -(-C // 8) * 8
+    slab = 2 * 2 * H * cpad * wpad * item            # (2, H, C, W) dbuf
+    scratch = 6 * H * copad * w2pad * 4              # 3-slot acc + staging
+    out = 2 * 2 * H * copad * wpad * item
+    total = slab + scratch + out
+    return (D >= 4 and D % 2 == 0 and W % 8 == 0 and C <= 40 and Cout <= 32
+            and (Cout % 8 == 0 or Cout == 1)
+            and total < _VMEM_LIMIT - 8 * 2 ** 20)
+
+
 def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
                     has_bias: bool = False, relu: bool = False):
     """Stride-2 variant: out[z',y',x'] = sum k[dz,dy,dx] x[2z'+dz, 2y'+dy,
@@ -509,6 +675,7 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
 
     # outputs come (D', H', Cout, W') — channel-second-minor to avoid the
     # 16x minor-dim pad of Cout<128 VMEM tiles; transposed back below.
+    dpack = False
     if stride == 1:
         # Lane-packing amortizes the fixed per-row cost but its roll/mask
         # overhead scales with C. Measured (full-res v5e): 8->1 9.8->6.0,
@@ -520,19 +687,34 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
             pack = 4 if H % 4 == 0 else (2 if H % 2 == 0 else 1)
         if forced:
             pack = int(forced) if H % int(forced) == 0 else 1
+        dpack = (_DPACK and rowconv3d_dpack_supported(D, H, W, C, cout,
+                                                      x.dtype))
+        if dpack:
+            pack = 1
         HP, WP = H // pack, pack * W
-        if pack > 1:
+        if dpack:
+            kern = _make_kernel_dpack(D, H, W, C, cout, has_bias, relu)
+        elif pack > 1:
             kern = _make_kernel_packed(D, H, W, C, cout, pack, has_bias, relu)
         else:
             kern = _make_kernel(D, H, W, C, cout, has_bias, relu)
         out_shape = (D, HP, cout, WP)
-        out_spec = pl.BlockSpec((1, HP, cout, WP),
-                                lambda g: (jnp.maximum(g - 1, 0), 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        dz_shape = ((HP, 3 * cout, WP) if _FSTORE
-                    else (3, HP, cout, WP))
-        scratch = [pltpu.VMEM((3, HP, cout, WP), jnp.float32),
-                   pltpu.VMEM(dz_shape, jnp.float32)]
+        if dpack:
+            out_spec = pl.BlockSpec((2, HP, cout, WP),
+                                    lambda g: (jnp.maximum(g - 1, 0),
+                                               0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            scratch = [pltpu.VMEM((3, HP, cout, 2 * WP), jnp.float32),
+                       pltpu.VMEM((3, HP, cout, 2 * WP), jnp.float32)]
+        else:
+            out_spec = pl.BlockSpec((1, HP, cout, WP),
+                                    lambda g: (jnp.maximum(g - 1, 0),
+                                               0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            dz_shape = ((HP, 3 * cout, WP) if _FSTORE
+                        else (3, HP, cout, WP))
+            scratch = [pltpu.VMEM((3, HP, cout, WP), jnp.float32),
+                       pltpu.VMEM(dz_shape, jnp.float32)]
         # channel-second-minor input + (9Cout, 3C) weights; PACK rows
         # ride the lane axis (lane = r*W + x)
         if not cw_in:
@@ -562,26 +744,38 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
         x = x.reshape(B, D, H, W // 2, 2 * C)
     in_block = x.shape[2:]
 
-    in_specs = [
-        pl.BlockSpec((1,) + in_block,
-                     lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(wr.shape, lambda g: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if dpack:
+        in_specs = [
+            pl.BlockSpec((2,) + in_block,
+                         lambda g: (jnp.minimum(g, D // 2 - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wr.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1,) + in_block,
+                         lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wr.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     operands = [wr.astype(x.dtype)]
     if has_bias:
         # per-channel bias broadcast to the kernel's (Cout, W') lane tile
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
-                               (cout, out_shape[-1]))
+                               (cout, 2 * out_shape[-1] if dpack
+                                else out_shape[-1]))
         in_specs.append(pl.BlockSpec(b2d.shape, lambda g: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(b2d)
 
+    grid_n = (D // 2 + 1) if dpack else (D + 1)
+
     def one(xb):
         return pl.pallas_call(
             kern,
-            grid=(D + 1,),
+            grid=(grid_n,),
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),

@@ -467,6 +467,67 @@ class TestRowConv3D:
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
 
+    @pytest.mark.parametrize("cin,cout,dtype", [
+        (32, 8, jnp.float32), (16, 16, jnp.float32), (8, 1, jnp.float32),
+        (32, 8, jnp.bfloat16),
+    ])
+    def test_dpack_matches_xla(self, monkeypatch, cin, cout, dtype):
+        """MVSNET_TPU_CONV3D_DPACK=1: two depth slabs per grid cell,
+        lane-concatenated in-kernel; the dz scatter is 2 lane-rolls + 3
+        selects per row. Forward + custom-VJP grads + CW layouts +
+        bias/ReLU epilogue against XLA."""
+        import importlib
+
+        from mvsnet_tpu.ops.pallas import conv3d
+
+        monkeypatch.setenv("MVSNET_TPU_CONV3D_DPACK", "1")
+        importlib.reload(conv3d)
+        try:
+            assert conv3d._DPACK
+            rng = np.random.default_rng(7)
+            x = jnp.asarray(rng.standard_normal((1, 6, 16, 24, cin)), dtype)
+            k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                            dtype)
+            assert conv3d.rowconv3d_dpack_supported(6, 16, 24, cin, cout,
+                                                    dtype)
+            ref = np.asarray(conv3d._xla_conv3d(x, k), np.float32)
+            got = np.asarray(conv3d.rowconv3d_interpret(x, k), np.float32)
+            tol = 2e-5 if dtype == jnp.float32 else 3e-2
+            np.testing.assert_allclose(got, ref, atol=tol, rtol=tol)
+            if dtype != jnp.float32:
+                return
+            # grads through the custom VJP (dx reruns the dpack kernel)
+            g = jnp.asarray(rng.standard_normal((1, 6, 16, 24, cout)),
+                            jnp.float32)
+            gx1, gk1 = jax.grad(
+                lambda a, b: jnp.sum(conv3d._xla_conv3d(a, b) * g),
+                (0, 1))(x, k)
+            gx2, gk2 = jax.grad(
+                lambda a, b: jnp.sum(conv3d.rowconv3d(a, b) * g),
+                (0, 1))(x, k)
+            np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                       atol=2e-5, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                       atol=2e-4, rtol=1e-5)
+            # CW layout contract + fused bias/ReLU epilogue
+            b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+            got_cw = conv3d.rowconv3d_fused(
+                jnp.swapaxes(x, -1, -2), k, b, relu=True,
+                cw_in=True, cw_out=True)
+            exp = jnp.maximum(conv3d._xla_conv3d(x, k) + b, 0.0)
+            np.testing.assert_allclose(
+                np.asarray(jnp.swapaxes(got_cw, -1, -2)), np.asarray(exp),
+                atol=2e-5, rtol=1e-5)
+            # odd D is ineligible and must fall back, still exact
+            x5 = jnp.asarray(rng.standard_normal((1, 5, 16, 24, cin)),
+                             jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(conv3d.rowconv3d_interpret(x5, k)),
+                np.asarray(conv3d._xla_conv3d(x5, k)), atol=2e-5, rtol=1e-5)
+        finally:
+            monkeypatch.delenv("MVSNET_TPU_CONV3D_DPACK")
+            importlib.reload(conv3d)
+
     def test_supported_model(self):
         from mvsnet_tpu.ops.pallas.conv3d import rowconv3d_supported
 
