@@ -132,7 +132,16 @@ def make_sharded_gru_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
             return depth_map[:B], prob_map[:B]
         return local_forward(variables, *xs)
 
-    return jax.jit(
-        forward,
-        in_shardings=(repl, data_sharded, data_sharded, data_sharded, data_sharded),
-    )
+    def jitted(variables, images, cams, depth_start, depth_end):
+        # Non-divisible batches are padded INSIDE forward, so their raw
+        # inputs can't satisfy a 'data'-sharded spec — keep them
+        # replicated and let the in-graph constraint place the padded
+        # batch (the divisible fast path still lands pre-sharded).
+        B = images.shape[0]
+        x_shard = data_sharded if B % mesh.shape["data"] == 0 else repl
+        return jax.jit(
+            forward,
+            in_shardings=(repl, x_shard, x_shard, x_shard, x_shard),
+        )(variables, images, cams, depth_start, depth_end)
+
+    return jitted

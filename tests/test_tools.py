@@ -122,6 +122,55 @@ def test_covisibility_from_demon(tmp_path):
     assert covis["3"]["views"] == [0, 1, 2]
 
 
+def test_demon_fixer(tmp_path):
+    """--fix parity (reference datasets/convert/demon_fixer.py:21-70):
+    uint8-depth sessions deleted, depth ranges rewritten with the 400/
+    10000 floors, unreadable sessions removed."""
+    import imageio
+    import numpy as np
+
+    import convert_demon
+
+    def make_session(name, arrays, covis=True):
+        d = tmp_path / name / "depths"
+        d.mkdir(parents=True)
+        for i, a in enumerate(arrays):
+            imageio.imwrite(str(d / f"{i}.png"), a)
+        if covis:
+            cov = {str(i): {"views": [j for j in range(len(arrays)) if j != i],
+                            "min_depth": 1, "max_depth": 2}
+                   for i in range(len(arrays))}
+            with open(tmp_path / name / "covisibility.json", "w") as f:
+                json.dump(cov, f)
+
+    # good session: depths 350..12000 with invalid 0/65535 codes sprinkled
+    good = np.full((8, 8), 5000, np.uint16)
+    good[0, 0] = 0           # invalid-low: ignored for min
+    good[0, 1] = 65535       # invalid-high: ignored for max
+    good[1, 0] = 350         # below the 400 floor -> becomes the min
+    good[1, 1] = 12000       # above the 10000 ceiling -> becomes the max
+    make_session("good", [good, np.full((8, 8), 6000, np.uint16)])
+    # mid-range session: floors stand (min 400 / max 10000)
+    make_session("mid", [np.full((8, 8), 5000, np.uint16)])
+    # uint8 session: deleted
+    make_session("bad8", [np.full((8, 8), 100, np.uint8)])
+    # broken session (no covisibility.json): removed
+    make_session("broken", [np.full((8, 8), 5000, np.uint16)], covis=False)
+
+    convert_demon.fix_demon(str(tmp_path))
+
+    assert not (tmp_path / "bad8").exists()
+    assert not (tmp_path / "broken").exists()
+    with open(tmp_path / "good" / "covisibility.json") as f:
+        cov = json.load(f)
+    assert cov["0"]["min_depth"] == 350
+    assert cov["0"]["max_depth"] == 12000
+    with open(tmp_path / "mid" / "covisibility.json") as f:
+        cov = json.load(f)
+    assert cov["0"]["min_depth"] == 400
+    assert cov["0"]["max_depth"] == 10000
+
+
 def test_hp_search_bayes_beats_random_on_quadratic():
     """GP-EI converges near the optimum of a smooth objective within the
     same budget (reference parity: ML-Engine Bayesian tuning,
