@@ -104,3 +104,97 @@ def test_fusion_sphere_accuracy_and_completeness(tmp_path):
     nearest = np.sqrt(d2.min(axis=1))
     completeness = float((nearest < 20.0).mean())
     assert completeness > 0.9, f"completeness {completeness:.2f}"
+
+
+def test_trained_fusion_fscore(tmp_path):
+    """End-to-end QUALITY gate with no analytic shortcut (VERDICT r3 next
+    #10): train the 3DCNN from scratch on multi-depth plane sessions (the
+    convergence-gate recipe), predict an unseen-seed session, run the full
+    reprojection-consistency fusion, and score the cloud DTU-style with
+    tools/eval_pointcloud.py against the true plane. Catches regressions
+    anywhere in train -> predict -> fuse -> eval.
+
+    Calibrated (CPU, seeded, 600 steps; the exact cloud varies with the
+    host's reduction order): 366-873 fused points, accuracy median
+    102-161mm, precision 0.84-1.0 / F-score 0.75-0.88 at the 200mm
+    (= 3 depth-interval) threshold. Gates sit well under both runs."""
+    import itertools
+    import sys
+
+    import jax
+
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.data import ClusterGenerator, batch_iterator
+    from mvsnet_tpu.fusion import fuse_session
+    from mvsnet_tpu.io.cams import write_cam_txt
+    from mvsnet_tpu.io.pfm import write_pfm
+    from mvsnet_tpu.models import MVSNet
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from eval_pointcloud import evaluate_clouds
+
+    from mvsnet_tpu.models import MVSNet
+
+    for i, d in enumerate([1700.0, 2000.0, 2300.0]):
+        make_session(str(tmp_path / "data" / "train" / f"s{i}"), n_images=4,
+                     plane_depth_mm=d, seed=i)
+    gen = ClusterGenerator(str(tmp_path / "data"), view_num=3,
+                           image_width=64, image_height=64, depth_num=16,
+                           base_image_size=32, mode="train", flip_cams=False)
+    batches = list(batch_iterator(gen.iterate_once(), 1))
+
+    mcfg = ModelConfig(view_num=3, max_d=16, width=64, height=64,
+                       network_mode="ultralite", compute_dtype="float32")
+    tcfg = TrainConfig(optimizer="adam", base_lr=2e-3, loss_type="original",
+                       grad_loss=False)
+    model = MVSNet(mcfg)
+    state = train_lib.create_train_state(model, mcfg, tcfg,
+                                         jax.random.PRNGKey(0), batches[0])
+    step_fn = train_lib.make_train_step(model, mcfg, tcfg, donate=False)
+    for b in itertools.islice(itertools.cycle(batches), 600):
+        state, m = step_fn(state, b)
+    assert float(m["loss"]) < 4.0, float(m["loss"])
+
+    # unseen-seed eval session at 2000mm; predict every cluster
+    session = make_session(str(tmp_path / "eval" / "train" / "s0"),
+                           n_images=4, plane_depth_mm=2000.0, seed=7)
+    egen = ClusterGenerator(str(tmp_path / "eval"), view_num=3,
+                            image_width=64, image_height=64, depth_num=16,
+                            base_image_size=32, mode="train",
+                            flip_cams=False)
+    out_dir = os.path.join(session, "depths_mvsnet")
+    os.makedirs(out_dir, exist_ok=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda v, im, cm, ds, di: model.apply(
+        v, im, cm, ds, di, training=False, method=MVSNet.forward_3dcnn))
+    for i, b in enumerate(batch_iterator(egen.iterate_once(), 1)):
+        images, cams = b[0], b[1]
+        depth, prob = fwd(variables, images, cams,
+                          cams[:, 0, 1, 3, 0], cams[:, 0, 1, 3, 1])
+        d = np.asarray(depth)[0, ..., 0]
+        write_pfm(os.path.join(out_dir, f"{i}_init.pfm"), d)
+        write_pfm(os.path.join(out_dir, f"{i}_prob.pfm"),
+                  np.asarray(prob)[0, ..., 0])
+        write_cam_txt(os.path.join(out_dir, f"{i}.txt"), b[1][0, 0])
+        write_image(os.path.join(out_dir, f"{i}.jpg"),
+                    np.full(d.shape + (3,), 128, np.uint8))
+
+    from mvsnet_tpu.io.ply import read_ply
+    ply = fuse_session(session, prob_threshold=0.3, disp_threshold=1.0,
+                       num_consistent=2, depth_rel_threshold=0.05)
+    points, _ = read_ply(ply)
+    assert len(points) > 150, len(points)
+
+    # GT: plane samples over the reference-view quarter-res FOV
+    f = 16 * 1.2
+    xs = (np.arange(16) + 0.5 - 8) / f * 2000.0
+    gx, gy = np.meshgrid(xs, xs)
+    gt_pts = np.stack([gx.ravel(), gy.ravel(),
+                       np.full(gx.size, 2000.0)], axis=1)
+    metrics = evaluate_clouds(points, gt_pts, threshold=200.0)
+    print("FUSION GATE METRICS:", {k: round(float(v), 3)
+                                   for k, v in metrics.items()})
+    assert metrics["accuracy_median"] < 250.0, metrics
+    assert metrics["precision"] > 0.55, metrics
+    assert metrics["fscore"] > 0.4, metrics
