@@ -599,9 +599,12 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             wx = jnp.where(cols >= jlo.astype(jnp.float32),
                                            wxf, jnp.asarray(0, src_dtype))
                         slab = slab.reshape(KBLK, BAND * C)
+                        # Mosaic tpu.matmul requires a 32-bit accumulator
+                        # (bf16 preferred_element_type fails verification
+                        # on chip) — COMB16 downcasts AFTER the matmul.
                         return jax.lax.dot_general(
                             slab, wx, (((0,), (0,)), ((), ())),
-                            preferred_element_type=hw_dtype,
+                            preferred_element_type=jnp.float32,
                             precision=precision)             # (BAND*C, G*TW)
 
                     def hwfull(start, jb8=jb8, kex=kex, hwin=hwin):
@@ -614,7 +617,7 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
 
                         if KBLK < W:
                             hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
-                        return hw
+                        return hw.astype(hw_dtype)
 
                     def vert(hw, start, masked, yrows=yrows):
                         rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
