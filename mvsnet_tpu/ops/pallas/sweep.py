@@ -856,12 +856,23 @@ def _hwin_table(x, W, KBLK):
     return jb8, kextra
 
 
+def _lane_pad(n: int) -> int:
+    """VMEM tiles pad the minor (lane) dim to a multiple of 128. The r3
+    BAND=12 GRU-point chip crash (interpret-clean) was this: slab tables
+    at the C=16 chunk are (H, W, 12*16=192) -> 256 padded lanes, +33%
+    over the unpadded model, blowing the 112 MiB scoped-vmem limit the
+    predicate had 'verified'."""
+    return -(-n // 128) * 128
+
+
 def _preload_cost_supported(height, width, channels, view_count_minus_1,
                             dtype=jnp.bfloat16) -> bool:
     """VMEM model of the slab-table kernel: one persistent single-buffered
-    scratch of all views' (H, W, BAND*C) tables + small streamed blocks."""
+    scratch of all views' (H, W, BAND*C) tables + small streamed blocks.
+    The table's minor dim is BAND*C -> lane-padded."""
     item = jnp.dtype(dtype).itemsize
-    scratch = view_count_minus_1 * height * width * BAND * channels * item
+    scratch = (view_count_minus_1 * height * width
+               * _lane_pad(BAND * channels) * item)
     work = (width * width * 4 * 2                    # iota_j + wx
             + 3 * BAND * channels * width * 4        # sub_r, rw, prod
             + 4 * ROWS_PER_CELL * width * 4 * 2      # x/y blocks (dbuf)
@@ -1010,8 +1021,10 @@ def _preload_call(ref_feature, view_features, x, y, tables, H, W,
 def pallas_sweep_supported(height: int, width: int, channels: int,
                            dtype=jnp.bfloat16) -> bool:
     """Whether the kernel's VMEM-residency / tiling assumptions hold."""
-    # x2: Mosaic may double-buffer blocks even with constant index maps
-    src_bytes = 2 * height * width * channels * jnp.dtype(dtype).itemsize
+    # x2: Mosaic may double-buffer blocks even with constant index maps;
+    # the (H, W, C) block's minor dim C lane-pads to 128
+    src_bytes = (2 * height * width * _lane_pad(channels)
+                 * jnp.dtype(dtype).itemsize)
     work_bytes = width * width * 4 * 4 + 8 * ROWS_PER_CELL * width * channels * 4
     budget = _VMEM_LIMIT - 8 * 2 ** 20
     return (height % ROWS_PER_CELL == 0
@@ -1027,8 +1040,9 @@ def _blockres_cost_supported(height: int, width: int, channels: int,
     # (the r2 1152x864 V=3 compile demanded 32.1 MiB for ~12.9 MiB of
     # blocks). With the 100 MiB scoped-vmem limit the fused kernel also
     # takes V=4/5 (the benchmark driver's default view_num=4, test.py:34).
-    src_bytes = 2 * (view_count_minus_1 + 1) * height * width * channels \
-        * jnp.dtype(dtype).itemsize
+    # The (H, W, C) blocks' minor dim C lane-pads to 128.
+    src_bytes = 2 * (view_count_minus_1 + 1) * height * width \
+        * _lane_pad(channels) * jnp.dtype(dtype).itemsize
     work_bytes = width * width * 4 * 4 + 8 * ROWS_PER_CELL * width * channels * 4
     budget = _VMEM_LIMIT - 8 * 2 ** 20
     return (height % ROWS_PER_CELL == 0

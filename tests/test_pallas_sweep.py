@@ -305,13 +305,15 @@ def test_fused_cost_volume_cchunked():
     from mvsnet_tpu.ops.pallas import sweep
 
     rng = np.random.default_rng(8)
-    H, W, C, D, Vm1 = 16, 24, 16, 4, 2
+    # C=32 so the half-chunk's lane-padded tables (8*16=128 lanes) really
+    # are half the full-C ones (256 lanes) under the padded VMEM model
+    H, W, C, D, Vm1 = 16, 24, 32, 4, 2
     ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
     views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
     homs = jnp.stack([make_homs(D), make_homs(D, rot=-0.03)])
     expected = plane_sweep_cost_volume(ref[None], views[:, None],
                                        homs[:, None])[0]
-    table = Vm1 * H * W * sweep.BAND * C * 4            # full-C f32 tables
+    table = Vm1 * H * W * sweep._lane_pad(sweep.BAND * C) * 4  # full-C f32
     with mock.patch.object(sweep, "_VMEM_LIMIT",
                            8 * 2 ** 20 + table // 2 + 100 * 1024):
         assert sweep._preload_cchunk(H, W, C, Vm1, jnp.float32) == C // 2
