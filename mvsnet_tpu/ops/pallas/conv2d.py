@@ -112,6 +112,79 @@ def _make_kernel2d_carry(H: int, W: int, C: int, Cout: int,
     return kernel
 
 
+def _make_kernel2d_bpack(H: int, W: int, B: int, C: int, Cout: int,
+                         has_bias: bool = False, relu: bool = False):
+    """Batch lane-pack edition: the B batch images ride the lane axis
+    (lane = b*W + x), so ONE kernel invocation serves the whole batch and
+    the per-row fixed cost (matmul issue + loop machinery, the dominant
+    term of every small-channel layer) amortizes B-fold.
+
+    Unlike the row-PACK kernel there are NO rolls or stitches: every
+    packed segment shares the same image row y, so the dy taps are the
+    ordinary P(j-1)/P(j-2) carries of the carry kernel. dx shifts are
+    lane shifts with the two per-segment seam columns masked. The
+    feature tower runs its 3 views through this as one call instead of
+    3 sequential pallas_calls.
+    """
+    WB = B * W
+
+    def kernel(x_ref, w_ref, *rest):
+        # x_ref: (1, H, C, WB); w_ref: (3*Cout, 3*C);
+        # b_ref (when has_bias): (Cout, WB) f32; out_ref: (1, H, Cout, WB).
+        if has_bias:
+            b_ref, out_ref = rest
+        else:
+            (out_ref,), b_ref = rest, None
+        w = w_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, WB), 1)
+        m_left = (lane % W != 0).astype(w.dtype)         # kill x=0 leak
+        m_right = (lane % W != W - 1).astype(w.dtype)    # kill x=W-1
+
+        def tap(j):
+            x = x_ref[0, pl.ds(j, 1)].reshape(C, WB)
+            zc = jnp.zeros((C, 1), x.dtype)
+            left = jnp.concatenate([zc, x[:, :WB - 1]], axis=1)
+            right = jnp.concatenate([x[:, 1:], zc], axis=1)
+            cat = jnp.concatenate(
+                [left * m_left, x, right * m_right], axis=0)  # (3C, WB)
+            return jax.lax.dot_general(
+                w, cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (3Cout, WB)
+
+        def emit(v):
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            return v.astype(out_ref.dtype)
+
+        UN = _unroll_for(H)
+
+        def row(i, carry):
+            p_prev, p_prev2 = carry                 # P(j-1), P(j-2)
+            for r in range(UN):
+                j = i * UN + r
+                p_cur = tap(j)
+                v = (p_prev2[0 * Cout:1 * Cout]
+                     + p_prev[1 * Cout:2 * Cout]
+                     + p_cur[2 * Cout:3 * Cout])
+
+                @pl.when(j >= 1)
+                def _(j=j, v=v):
+                    out_ref[0, pl.ds(j - 1, 1)] = emit(v)[None]
+
+                p_prev, p_prev2 = p_cur, p_prev
+            return (p_prev, p_prev2)
+
+        # live-tap zero init (NOT jnp.zeros — the r3 carry-layout rule)
+        zP = tap(0) * 0.0
+        p_last, p_last2 = jax.lax.fori_loop(0, H // UN, row, (zP, zP))
+        out_ref[0, pl.ds(H - 1, 1)] = emit(
+            p_last2[0 * Cout:1 * Cout] + p_last[1 * Cout:2 * Cout])[None]
+
+    return kernel
+
+
 def _make_kernel2d_packed(H: int, W: int, C: int, Cout: int, PACK: int,
                           has_bias: bool = False, relu: bool = False):
     """Lane-packed s1 edition (the 2D sibling of conv3d's packed kernel):
@@ -557,13 +630,75 @@ def _rowconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
     hb = H // nb
     has_bias = bias is not None
     staging = bool(os.environ.get("MVSNET_TPU_CONV2D_STAGING"))
+    # Batch lane-pack: one call serves the whole batch (roll-free, unlike
+    # row-PACK). Env-gated off pending the chip A/B.
+    bpack = (B > 1 and not staging
+             and os.environ.get("MVSNET_TPU_CONV_BPACK") == "1"
+             and _num_bands(H, B * W, C, cout, item) > 0)
     pack = 1
-    if not staging and nb == 1:
+    if not staging and not bpack and nb == 1:
         pack = _pack2d(H, W, C, cout, item)
     b2d = None
     if has_bias:
-        bw = pack * W if pack > 1 else W
+        bw = W
+        if pack > 1:
+            bw = pack * W
+        elif bpack:
+            bw = B * W
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (cout, bw))
+
+    if bpack:
+        WB = B * W
+        nbb = _num_bands(H, WB, C, cout, item)
+        hbb = H // nbb
+        xp = jnp.transpose(xt, (1, 2, 0, 3)).reshape(H, C, WB)
+
+        def bcall(xb, hband):
+            kern = _make_kernel2d_bpack(hband, W, B, C, cout, has_bias,
+                                        relu)
+            in_specs = [
+                pl.BlockSpec((1, hband, C, WB), lambda g: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * cout, 3 * C), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands = [w2.astype(x.dtype)]
+            if has_bias:
+                in_specs.append(pl.BlockSpec((cout, WB), lambda g: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                operands.append(b2d)
+            return pl.pallas_call(
+                kern,
+                grid=(1,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, hband, cout, WB),
+                                       lambda g: (0, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, hband, cout, WB),
+                                               x.dtype),
+                interpret=interpret,
+                compiler_params=_ARBITRARY1,
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * B * hband * W * 9 * C * cout,
+                    bytes_accessed=B * hband * W * (C + cout) * item,
+                    transcendentals=0,
+                ),
+            )(xb[None], *operands)
+
+        if nbb == 1:
+            outp = bcall(xp, H)[0]
+        else:
+            parts = []
+            for i in range(nbb):
+                lo = i * hbb
+                s, e = max(lo - 1, 0), min(lo + hbb + 1, H)
+                bo = bcall(xp[s:e], e - s)
+                parts.append(bo[0, lo - s:lo - s + hbb])
+            outp = jnp.concatenate(parts, axis=0)       # (H, Cout, WB)
+        out = jnp.transpose(outp.reshape(H, cout, B, W), (2, 0, 1, 3))
+        if cw_out:
+            return out                                  # (B, H, Cout, W)
+        return jnp.transpose(out, (0, 1, 3, 2))         # (B, H, W, Cout)
 
     if pack > 1:
         HP, WP = H // pack, pack * W

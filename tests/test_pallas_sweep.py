@@ -260,6 +260,35 @@ def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2, dtype):
         importlib.reload(sweep)
 
 
+@pytest.mark.parametrize("shape,cw", [
+    ((3, 16, 24, 8, 8), False), ((2, 16, 24, 16, 16), False),
+    ((3, 9, 16, 3, 8), False), ((3, 16, 24, 8, 8), True),
+])
+def test_conv2d_bpack_matches_xla(monkeypatch, shape, cw):
+    """MVSNET_TPU_CONV_BPACK=1: the batch rides the lane axis (one call
+    per layer instead of B sequential pallas_calls, roll-free seam-masked
+    dx). Forward + CW layout + fused bias/ReLU vs XLA."""
+    from mvsnet_tpu.ops.pallas import conv2d
+
+    monkeypatch.setenv("MVSNET_TPU_CONV_BPACK", "1")
+    B, H, W, C, Co = shape
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Co,)), jnp.float32)
+    exp = jnp.maximum(conv2d._xla_conv2d(x, k) + b, 0.0)
+    if cw:
+        got = conv2d._rowconv2d_fwd_impl(
+            jnp.swapaxes(x, -1, -2), k, b, relu=True, interpret=True,
+            cw_in=True, cw_out=True)
+        got = jnp.swapaxes(got, -1, -2)
+    else:
+        got = conv2d._rowconv2d_fwd_impl(x, k, b, relu=True,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("band,pair", [("12", "1"), ("12", "0"),
                                        ("16", "1")])
 def test_fused_cost_volume_single_block_band(monkeypatch, band, pair):

@@ -97,9 +97,19 @@ run ab2_gcost_c16 2400 env MVSNET_TPU_SWEEP_COMB16=1 \
 # 3. train-step stage breakdown (VERDICT r3 #5)
 run train_stages 4800 python tools/bench_train_stages.py
 
-# 4. feature-net attack measurements (VERDICT r3 #8)
+# 4. feature-net attack measurements (VERDICT r3 #8): default vs the
+#    batch-lane-pack conv (one call serves all 3 views, roll-free)
 run featnet 3600 python tools/bench_featnet.py --full
+run featnet_bpack 3600 env MVSNET_TPU_CONV_BPACK=1 python tools/bench_featnet.py --full
 run featnet_xla 2400 env MVSNET_TPU_NO_PALLAS_CONV=1 python tools/bench_featnet.py --only-full
+
+# 5. BAND=12 GRU point retest: the r3 crash root-caused as the unpadded
+#    VMEM model (lane padding fixed in cb14cbf; now auto-chunks to C=8)
+run band12_gru 2400 env MVSNET_TPU_SWEEP_BAND=12 \
+    python tools/bench_sweep.py --point gru --skip-warp --skip-check
+
+# 6. D-pack + quad-group e2e: full bench under the winning knobs is run
+#    MANUALLY after reading the A/B results (knob flips after numbers)
 
 cd "$REPO"
 git worktree remove --force "$SNAP" >> "$L" 2>&1
