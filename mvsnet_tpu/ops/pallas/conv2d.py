@@ -446,59 +446,75 @@ def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
         # the dx-tap fold reads lane-minor W; pay the relayout here (net
         # zero: the CW producer skipped its own output transpose)
         x = jnp.transpose(x, (0, 1, 3, 2))
+    import os  # noqa: PLC0415
+
     B, H, W, C = x.shape
     K, cout = kernel.shape[0], kernel.shape[-1]
     H2, W2 = H // 2, W // 2
     w2 = _weights_wide2d_s2(kernel).astype(x.dtype)
     cat = _fold_dx_s2(x, K).astype(x.dtype)           # (B, H+K-2, K*C, W2)
-    TB = _s2_band_rows(H2, W2, C, cout, K, jnp.dtype(x.dtype).itemsize)
+    item = jnp.dtype(x.dtype).itemsize
+    # batch lane-pack: the kernel is lane-shift-free (dx pre-folded), so
+    # packing the batch is just wider tables — one call per band serves
+    # the whole batch (env-gated, chip A/B)
+    bp = (B if (B > 1 and os.environ.get("MVSNET_TPU_CONV_BPACK") == "1"
+                and _s2_band_rows(H2, B * W2, C, cout, K, item) > 0)
+          else 1)
+    WP = bp * W2
+    if bp > 1:
+        cat = jnp.transpose(cat, (1, 2, 0, 3)).reshape(
+            H + K - 2, K * C, WP)[None]               # (1, H+K-2, K*C, WP)
+    TB = _s2_band_rows(H2, WP, C, cout, K, item)
     assert TB > 0, (H, W, C, cout, K)
     has_bias = bias is not None
     b2d = None
     if has_bias:
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
-                               (cout, W2))
+                               (cout, WP))
 
-    kern = _make_kernel2d_s2(TB, W2, C, cout, K, has_bias, relu)
+    kern = _make_kernel2d_s2(TB, WP, C, cout, K, has_bias, relu)
     rows_blk = 2 * TB + K - 2
 
-    def band(cb):                                     # (rows_blk, K*C, W2)
+    def band(cb):                                     # (rows_blk, K*C, WP)
         in_specs = [
-            pl.BlockSpec((1, rows_blk, K * C, W2),
+            pl.BlockSpec((1, rows_blk, K * C, WP),
                          lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands = [w2]
         if has_bias:
-            in_specs.append(pl.BlockSpec((cout, W2), lambda g: (0, 0),
+            in_specs.append(pl.BlockSpec((cout, WP), lambda g: (0, 0),
                                          memory_space=pltpu.VMEM))
             operands.append(b2d)
         return pl.pallas_call(
             kern,
             grid=(1,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, TB, cout, W2),
+            out_specs=pl.BlockSpec((1, TB, cout, WP),
                                    lambda g: (0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, TB, cout, W2), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, TB, cout, WP), x.dtype),
             interpret=interpret,
             compiler_params=_ARBITRARY1,
             cost_estimate=pl.CostEstimate(
-                flops=2 * TB * W2 * K * K * C * cout * 2,
-                bytes_accessed=(TB * W2 * (2 * K * C + cout)
-                                * x.dtype.itemsize),
+                flops=2 * TB * WP * K * K * C * cout * 2,
+                bytes_accessed=(TB * WP * (2 * K * C + cout) * item),
                 transcendentals=0,
             ),
         )(cb[None], *operands)
 
-    def one(cb):                                      # (H+K-2, K*C, W2)
+    def one(cb):                                      # (H+K-2, K*C, WP)
         parts = []
         for t0 in range(0, H2, TB):
             parts.append(band(cb[2 * t0:2 * t0 + rows_blk]))
         return jnp.concatenate(parts, axis=1)
 
-    out = jnp.concatenate([one(cat[b]) for b in range(B)], axis=0)
+    if bp > 1:
+        outp = one(cat[0])[0]                         # (H2, Cout, B*W2)
+        out = jnp.transpose(outp.reshape(H2, cout, B, W2), (2, 0, 1, 3))
+    else:
+        out = jnp.concatenate([one(cat[b]) for b in range(B)], axis=0)
     if cw_out:
         return out                                    # (B, H2, Cout, W2)
     return jnp.transpose(out, (0, 1, 3, 2))           # (B, H2, W2, Cout)

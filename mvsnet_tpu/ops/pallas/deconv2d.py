@@ -36,14 +36,21 @@ _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
 
 
 def _make_kernel(HB: int, W: int, C: int, Cout: int,
-                 has_bias: bool = False, relu: bool = False):
+                 has_bias: bool = False, relu: bool = False,
+                 B: int = 1):
+    """B > 1: batch lane-pack (lane = b*W + x; one call serves the whole
+    batch — see conv2d._make_kernel2d_bpack). The only packed-specific
+    op is the per-segment mask on the dx=2 lane shift."""
+    WB = B * W
+
     def kernel(x_ref, w_ref, *rest):
-        # x_ref: (1, HB, C, W) one source row band, channel-second-minor;
+        # x_ref: (1, HB, C, WB) one source row band, channel-second-minor;
         # w_ref: (9*Cout, C) — rows ordered (dy*3+dx)*Cout + co, kernel
         #   pre-flipped spatially XLA-side;
-        # b_ref (when has_bias): (Cout, 2W) f32;
-        # out_ref: (1, 2*HB, Cout, 2W) parity-split lanes (lane = px*W+x);
-        # carry_ref: (1, Cout, 2W) f32 — the dy=2 row of this band's last
+        # b_ref (when has_bias): (Cout, 2*WB) f32;
+        # out_ref: (1, 2*HB, Cout, 2*WB) parity-split lanes
+        #   (lane = px*WB + b*W + x);
+        # carry_ref: (1, Cout, 2*WB) f32 — the dy=2 row of this band's last
         #   source row, consumed by the next band's first output row.
         if has_bias:
             b_ref, out_ref, carry_ref = rest
@@ -56,17 +63,22 @@ def _make_kernel(HB: int, W: int, C: int, Cout: int,
             carry_ref[...] = jnp.zeros_like(carry_ref)
 
         w = w_ref[...]
+        if B > 1:
+            lane_o = jax.lax.broadcasted_iota(jnp.int32, (Cout, WB), 1)
+            m_seg = (lane_o % W != 0).astype(jnp.float32)  # kill x=0 leak
 
         def blk(P, dy, dx):
             i = (dy * 3 + dx) * Cout
-            return P[i:i + Cout]                       # (Cout, W) f32
+            return P[i:i + Cout]                       # (Cout, WB) f32
 
         def combine_dx(P, dy):
             # even-x plane: out[2x] = c0[x] + c2[x-1]; odd-x: c1[x]
             c0, c1, c2 = (blk(P, dy, dx) for dx in range(3))
             c2s = jnp.concatenate(
-                [jnp.zeros((Cout, 1), jnp.float32), c2[:, :W - 1]], axis=1)
-            return jnp.concatenate([c0 + c2s, c1], axis=1)  # (Cout, 2W)
+                [jnp.zeros((Cout, 1), jnp.float32), c2[:, :WB - 1]], axis=1)
+            if B > 1:
+                c2s = c2s * m_seg
+            return jnp.concatenate([c0 + c2s, c1], axis=1)  # (Cout, 2WB)
 
         def emit(v):
             if b_ref is not None:
@@ -80,7 +92,7 @@ def _make_kernel(HB: int, W: int, C: int, Cout: int,
         def row(i, _):
             for r in range(UN):
                 j = i * UN + r
-                x = x_ref[0, pl.ds(j, 1)].reshape(C, W)
+                x = x_ref[0, pl.ds(j, 1)].reshape(C, WB)
                 P = jax.lax.dot_general(
                     w, x, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (9*Cout, W)
@@ -142,44 +154,64 @@ def _rowdeconv2d_fwd_impl(x, kernel, bias=None, relu: bool = False,
     else:
         B, H, W, C = x.shape
         xin = jnp.transpose(x, (0, 1, 3, 2))         # (B, H, C, W)
+    import os  # noqa: PLC0415
+
     cout = kernel.shape[-1]
     wr = _weights_wide(kernel).astype(x.dtype)
     has_bias = bias is not None
-    nb = _band_split(H, W, C, cout, jnp.dtype(x.dtype).itemsize)
+    item = jnp.dtype(x.dtype).itemsize
+    # batch lane-pack: one call for the whole batch (env-gated, chip A/B)
+    bp = (B if (B > 1 and os.environ.get("MVSNET_TPU_CONV_BPACK") == "1"
+                and _band_split(H, B * W, C, cout, item) > 0)
+          else 1)
+    WB = bp * W
+    nb = _band_split(H, WB, C, cout, item)
     hb = H // nb
     in_specs = [
-        pl.BlockSpec((1, hb, C, W), lambda g: (0, g, 0, 0),
+        pl.BlockSpec((1, hb, C, WB), lambda g: (0, g, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(wr.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [wr]
     if has_bias:
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
-                               (cout, 2 * W))
+                               (cout, 2 * WB))
         in_specs.append(pl.BlockSpec(b2d.shape, lambda g: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(b2d)
-    kern = _make_kernel(hb, W, C, cout, has_bias, relu)
+    kern = _make_kernel(hb, W, C, cout, has_bias, relu, B=bp)
 
     def one(xb):
         return pl.pallas_call(
             kern,
             grid=(nb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 2 * hb, cout, 2 * W),
+            out_specs=pl.BlockSpec((1, 2 * hb, cout, 2 * WB),
                                    lambda g: (0, g, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 2 * H, cout, 2 * W), x.dtype),
-            scratch_shapes=[pltpu.VMEM((1, cout, 2 * W), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((1, 2 * H, cout, 2 * WB),
+                                           x.dtype),
+            scratch_shapes=[pltpu.VMEM((1, cout, 2 * WB), jnp.float32)],
             interpret=interpret,
             compiler_params=_ARBITRARY1,
             cost_estimate=pl.CostEstimate(
-                flops=2 * H * W * 9 * C * cout,
-                bytes_accessed=(H * W * C * x.dtype.itemsize
-                                + 4 * H * W * cout * x.dtype.itemsize),
+                flops=2 * bp * H * W * 9 * C * cout,
+                bytes_accessed=(bp * H * W * C * item
+                                + 4 * bp * H * W * cout * item),
                 transcendentals=0,
             ),
         )(xb[None], *operands)[0]
+
+    if bp > 1:
+        xp = jnp.transpose(xin, (1, 2, 0, 3)).reshape(H, C, WB)
+        out = one(xp)                                # (2H, Cout, 2*WB)
+        out = out.reshape(2 * H, cout, 2, B, W)
+        if cw_out:
+            # (…, co, [even|odd], b, W) -> (B, 2H, co, 2W) interleaved
+            return jnp.transpose(out, (3, 0, 1, 4, 2)).reshape(
+                B, 2 * H, cout, 2 * W)
+        return jnp.transpose(out, (3, 0, 4, 2, 1)).reshape(
+            B, 2 * H, 2 * W, cout)
 
     out = jnp.stack([one(xin[b]) for b in range(B)], axis=0)
     out = out.reshape(B, 2 * H, cout, 2, W)

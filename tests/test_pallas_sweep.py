@@ -289,6 +289,50 @@ def test_conv2d_bpack_matches_xla(monkeypatch, shape, cw):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_s2_and_deconv2d_bpack_match_xla(monkeypatch):
+    """BPACK for the s2 conv (lane-shift-free tables, pack is free) and
+    the parity-split deconv (seam-masked dx=2 shift)."""
+    from mvsnet_tpu.ops.pallas import conv2d, deconv2d
+
+    monkeypatch.setenv("MVSNET_TPU_CONV_BPACK", "1")
+    rng = np.random.default_rng(37)
+    for K in (3, 5):
+        x = jnp.asarray(rng.standard_normal((3, 16, 32, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((K, K, 8, 16)) * 0.2,
+                        jnp.float32)
+        got = conv2d._rowconv2d_s2_fwd_impl(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(conv2d._xla_conv2d_s2(x, k)),
+                                   atol=1e-4, rtol=1e-4)
+    x = jnp.asarray(rng.standard_normal((3, 8, 16, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
+    got = deconv2d._rowdeconv2d_fwd_impl(
+        jnp.swapaxes(x, -1, -2), k, b, relu=True, interpret=True,
+        cw_in=True, cw_out=True)
+    exp = jnp.maximum(deconv2d._xla_deconv2d(x, k) + b, 0.0)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(got, -1, -2)),
+                               np.asarray(exp), atol=1e-4, rtol=1e-4)
+
+
+def test_feature_tower_bpack_matches_default(monkeypatch):
+    """The full UNetDS2GN tower (B=3 views) under MVSNET_TPU_CONV_BPACK=1
+    must match the default path bit-for-bit-ish at f32."""
+    import jax
+
+    from mvsnet_tpu.models.feature_net import UNetDS2GN
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((3, 64, 64, 3)), jnp.float32)
+    net = UNetDS2GN("normal", dtype=jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
+    base = np.asarray(net.apply(params, x))
+    monkeypatch.setenv("MVSNET_TPU_CONV_BPACK", "1")
+    monkeypatch.setenv("MVSNET_TPU_FORCE_PALLAS_CONV", "1")
+    got = np.asarray(net.apply(params, x))
+    np.testing.assert_allclose(got, base, atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("band,pair", [("12", "1"), ("12", "0"),
                                        ("16", "1")])
 def test_fused_cost_volume_single_block_band(monkeypatch, band, pair):
