@@ -520,6 +520,15 @@ _COMB16 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COMB16", "0")))
 # so the reorder lets the MXU run block 1's matmul underneath block 0's
 # VPU combine instead of serializing the units.
 _MM2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_MM2", "0")))
+# A/B knob: FULL-WIDTH vertical combine. The r4 chip TENT16 null result
+# (71.3 vs 71.4 ms — halving tent elementwise width changed nothing)
+# says the kernel is bound by vector-op ISSUE count, not element
+# throughput. The per-g combine slices hw into G (C, TW) pieces per tap
+# (G rw builds + G*2*BAND FMA ops per block); WIDE builds ONE rw at
+# (BAND, G*TW) from the lane-concatenated y coords and runs each tap FMA
+# at (C, G*TW) — ~G-fold fewer vector ops for identical element counts.
+# The variance epilogue runs wide too. NT==1 only (the default).
+_WIDE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_WIDE", "0")))
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
@@ -556,9 +565,16 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (BAND, TW), 0)
         iota_b = iota_b.astype(jnp.float32)
 
+        wide = _WIDE and NT == 1
+        iota_bg = None
+        if wide:
+            iota_bg = jax.lax.broadcasted_iota(jnp.int32, (BAND, G * TW), 0)
+            iota_bg = iota_bg.astype(jnp.float32)
+
         for p in range(RP):
             ys = [G * p + g for g in range(G)]
             sums, sqs = [None] * G, [None] * G
+            sums_w, sqs_w = None, None
             for v in range(view_count_minus_1):
                 tiles = [[] for _ in range(G)]
                 for t in range(NT):
@@ -619,6 +635,22 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
                         return hw.astype(hw_dtype)
 
+                    def vertw(hw, start, masked, ycat_=None):
+                        # full-width combine: one rw build + BAND FMAs at
+                        # (C, G*TW) instead of G sliced ones (see _WIDE)
+                        rows = start.astype(jnp.float32) + iota_bg
+                        rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - ycat_))
+                        if masked is not None:
+                            lo, hi = masked
+                            keep = ((rows >= lo.astype(jnp.float32))
+                                    & (rows <= hi.astype(jnp.float32)))
+                            rw = jnp.where(keep, rw, 0.0)
+                        rw = rw.astype(hw.dtype)
+                        a = rw[0:1, :] * hw[0:C, :]
+                        for r in range(1, BAND):
+                            a = a + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
+                        return a.astype(jnp.float32)         # (C, G*TW)
+
                     def vert(hw, start, masked, yrows=yrows):
                         rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
                         keep = None
@@ -649,6 +681,30 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                     # span (~11 rows for pairs, ~13 for quads at realistic
                     # rigs): two at BAND=8, one at BAND>=12 (_STATIC2);
                     # residual masked blocks are zero-trip
+                    if wide:
+                        ycat = jnp.concatenate(yrows, axis=1)  # (1, G*TW)
+                        wv = vertw(hwfull(rbase), rbase, None, ycat)
+                        if _STATIC2:
+                            lo1 = rbase + BAND
+                            start1 = jnp.minimum(lo1, H - BAND)
+                            wv = wv + vertw(hwfull(start1), start1,
+                                            (lo1, lo1 + (BAND - 1)), ycat)
+
+                        def extraw(k, acc, rbase=rbase, hwfull=hwfull,
+                                   vertw=vertw, ycat=ycat):
+                            lo = rbase + k * BAND
+                            start = jnp.minimum(lo, H - BAND)
+                            return acc + vertw(hwfull(start), start,
+                                               (lo, lo + (BAND - 1)), ycat)
+
+                        wv = jax.lax.fori_loop(2 if _STATIC2 else 1,
+                                               nex + 1, extraw, wv)
+                        if sums_w is None:
+                            sums_w, sqs_w = wv, wv * wv
+                        else:
+                            sums_w = sums_w + wv
+                            sqs_w = sqs_w + wv * wv
+                        continue
                     if _STATIC2 and _MM2:
                         # both tap matmuls issue back-to-back so block 1's
                         # MXU pass overlaps block 0's VPU combine
@@ -678,6 +734,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                     for g in range(G):
                         tiles[g].append(w[g])
 
+                if wide:
+                    continue
                 for g in range(G):
                     wd = (tiles[g][0] if NT == 1
                           else jnp.concatenate(tiles[g], axis=1))
@@ -687,6 +745,19 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         sums[g] = sums[g] + wd
                         sqs[g] = sqs[g] + wd * wd
 
+            if wide:
+                # wide variance epilogue; per-g lane slices only at the
+                # final output writes
+                ref_cat = jnp.concatenate(
+                    [reft_ref[yy] for yy in ys], axis=1).astype(jnp.float32)
+                ss = sums_w + ref_cat
+                qq = sqs_w + ref_cat * ref_cat
+                mean = ss / view_num
+                cost = qq / view_num - mean * mean
+                cost = cost.astype(out_ref.dtype)
+                for g in range(G):
+                    out_ref[0, ys[g]] = cost[:, g * TW:(g + 1) * TW]
+                continue
             for g in range(G):
                 ref_row = reft_ref[ys[g]].astype(jnp.float32)  # (C, W)
                 ss = sums[g] + ref_row

@@ -217,17 +217,21 @@ def test_fused_cost_volume_group_bf16_tent16(monkeypatch, tent16):
         importlib.reload(sweep)
 
 
-@pytest.mark.parametrize("comb16,mm2,dtype", [
-    ("1", "0", jnp.bfloat16),   # bf16 vertical combine
-    ("0", "1", jnp.bfloat16),   # reordered block matmuls
-    ("1", "1", jnp.bfloat16),   # both
-    ("0", "1", jnp.float32),    # MM2 must be layout-only at f32
+@pytest.mark.parametrize("comb16,mm2,dtype,wide", [
+    ("1", "0", jnp.bfloat16, "0"),   # bf16 vertical combine
+    ("0", "1", jnp.bfloat16, "0"),   # reordered block matmuls
+    ("1", "1", jnp.bfloat16, "0"),   # both
+    ("0", "1", jnp.float32, "0"),    # MM2 must be layout-only at f32
+    ("0", "0", jnp.float32, "1"),    # WIDE full-width combine
+    ("1", "0", jnp.bfloat16, "1"),   # WIDE + bf16 combine
 ])
-def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2, dtype):
+def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2,
+                                            dtype, wide):
     """MVSNET_TPU_SWEEP_COMB16 (bf16 vertical combine, f32 variance
-    accumulation) and MVSNET_TPU_SWEEP_MM2 (both static blocks' tap
-    matmuls issued before either combine) against the XLA cost volume.
-    MM2 is a pure op reorder; COMB16 changes only the combine dtype."""
+    accumulation), MVSNET_TPU_SWEEP_MM2 (both static blocks' tap
+    matmuls issued before either combine), and MVSNET_TPU_SWEEP_WIDE
+    (full-width combine + wide variance epilogue) against the XLA cost
+    volume. MM2/WIDE are op-count/order changes only."""
     import importlib
 
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
@@ -235,10 +239,12 @@ def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2, dtype):
 
     monkeypatch.setenv("MVSNET_TPU_SWEEP_COMB16", comb16)
     monkeypatch.setenv("MVSNET_TPU_SWEEP_MM2", mm2)
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_WIDE", wide)
     importlib.reload(sweep)
     try:
         assert sweep._COMB16 == (comb16 == "1")
         assert sweep._MM2 == (mm2 == "1")
+        assert sweep._WIDE == (wide == "1")
         rng = np.random.default_rng(29)
         H, W, C, D, Vm1 = 32, 256, 8, 3, 2
         ref = jnp.asarray(rng.standard_normal((H, W, C)), dtype)
@@ -257,6 +263,7 @@ def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2, dtype):
     finally:
         monkeypatch.delenv("MVSNET_TPU_SWEEP_COMB16")
         monkeypatch.delenv("MVSNET_TPU_SWEEP_MM2")
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_WIDE")
         importlib.reload(sweep)
 
 
