@@ -520,6 +520,17 @@ _COMB16 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COMB16", "0")))
 # so the reorder lets the MXU run block 1's matmul underneath block 0's
 # VPU combine instead of serializing the units.
 _MM2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_MM2", "0")))
+# A/B knob: TRANSPOSED slab tables (H, BAND*C, W). The tap matmul has
+# always contracted the slab's MAJOR dim (slab (KBLK, BAND*C) on dim 0
+# against wx (KBLK, G*TW) on dim 0) — a transposed-LHS dot that Mosaic
+# may lower with an internal per-block relayout of the 73k-element slab,
+# which would explain the uniform ~2x gap vs the op-level model that
+# TENT16/MM2 nulls left unexplained. With the tables stored transposed
+# the dot contracts lhs LANES x rhs SUBLANES — the MXU-native
+# orientation, no relayout. Costs lane-padding W in the table scratch
+# (288 -> 384 at the 3DCNN point; the padded VMEM model gates it).
+# KBLK == W (the NT=1 default) only.
+_TSLAB = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_TSLAB", "0")))
 # A/B knob: FULL-WIDTH vertical combine. The r4 chip TENT16 null result
 # (71.3 vs 71.4 ms — halving tent elementwise width changed nothing)
 # says the kernel is bound by vector-op ISSUE count, not element
@@ -542,12 +553,14 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
     view_num = view_count_minus_1 + 1
     TW = W // NT
     RP = ROWS_PER_CELL // G
+    tslab = _TSLAB and KBLK == W
 
     def kernel(x_ref, y_ref, rb_ref, ne_ref, jb_ref, ke_ref, reft_ref,
                cats_hbm, out_ref, cats_vmem, sem):
         # x/y: (Vm1, 1, ROWS, W) f32; rb/ne/jb/ke: (Vm1, 1, 1, NT, RP) i32
-        # SMEM; reft: (ROWS, C, W); cats_hbm: (Vm1, H, W, BAND*C) ANY;
-        # out: (1, ROWS, C, W); cats_vmem: persistent scratch.
+        # SMEM; reft: (ROWS, C, W); cats_hbm: (Vm1, H, W, BAND*C) ANY
+        # ((Vm1, H, BAND*C, W) under _TSLAB); out: (1, ROWS, C, W);
+        # cats_vmem: persistent scratch.
         C = reft_ref.shape[1]
         src_dtype = cats_vmem.dtype
         precision = _precision_for(src_dtype)
@@ -614,10 +627,19 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             wxf = _tent_cols(cols, xcat, src_dtype)
                             wx = jnp.where(cols >= jlo.astype(jnp.float32),
                                            wxf, jnp.asarray(0, src_dtype))
-                        slab = slab.reshape(KBLK, BAND * C)
                         # Mosaic tpu.matmul requires a 32-bit accumulator
                         # (bf16 preferred_element_type fails verification
                         # on chip) — COMB16 downcasts AFTER the matmul.
+                        if tslab:
+                            # table stored (H, BAND*C, W): contract lhs
+                            # LANES x rhs SUBLANES — MXU-native, no
+                            # slab relayout (see _TSLAB)
+                            slab = slab.reshape(BAND * C, KBLK)
+                            return jax.lax.dot_general(
+                                slab, wx, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)         # (BAND*C, G*TW)
+                        slab = slab.reshape(KBLK, BAND * C)
                         return jax.lax.dot_general(
                             slab, wx, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -832,7 +854,11 @@ def _preload_call_group(ref_feature, view_features, x, y, tables, H, W,
     C = ref_feature.shape[-1]
     rows_blocks = out_rows // ROWS_PER_CELL
     rp = ROWS_PER_CELL // G
-    cats = jax.vmap(_band_cats)(view_features)       # (Vm1, H, W, BAND*C)
+    if _TSLAB and KBLK == W:
+        cats = jax.vmap(_band_cats)(view_features)
+        cats = jnp.transpose(cats, (0, 1, 3, 2))     # (Vm1, H, BAND*C, W)
+    else:
+        cats = jax.vmap(_band_cats)(view_features)   # (Vm1, H, W, BAND*C)
     reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
 
     grid = (D, rows_blocks)
@@ -858,7 +884,7 @@ def _preload_call_group(ref_feature, view_features, x, y, tables, H, W,
         out_shape=jax.ShapeDtypeStruct((D, out_rows, C, W),
                                        ref_feature.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Vm1, H, W, BAND * C), view_features.dtype),
+            pltpu.VMEM(cats.shape, view_features.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -940,10 +966,14 @@ def _preload_cost_supported(height, width, channels, view_count_minus_1,
                             dtype=jnp.bfloat16) -> bool:
     """VMEM model of the slab-table kernel: one persistent single-buffered
     scratch of all views' (H, W, BAND*C) tables + small streamed blocks.
-    The table's minor dim is BAND*C -> lane-padded."""
+    The table's minor dim (BAND*C, or W under _TSLAB) lane-pads to 128."""
     item = jnp.dtype(dtype).itemsize
-    scratch = (view_count_minus_1 * height * width
-               * _lane_pad(BAND * channels) * item)
+    if _TSLAB:
+        scratch = (view_count_minus_1 * height * BAND * channels
+                   * _lane_pad(width) * item)
+    else:
+        scratch = (view_count_minus_1 * height * width
+                   * _lane_pad(BAND * channels) * item)
     work = (width * width * 4 * 2                    # iota_j + wx
             + 3 * BAND * channels * width * 4        # sub_r, rw, prod
             + 4 * ROWS_PER_CELL * width * 4 * 2      # x/y blocks (dbuf)

@@ -224,6 +224,8 @@ def test_fused_cost_volume_group_bf16_tent16(monkeypatch, tent16):
     ("0", "1", jnp.float32, "0"),    # MM2 must be layout-only at f32
     ("0", "0", jnp.float32, "1"),    # WIDE full-width combine
     ("1", "0", jnp.bfloat16, "1"),   # WIDE + bf16 combine
+    ("0", "0", jnp.bfloat16, "2"),   # TSLAB transposed tables
+    ("0", "0", jnp.float32, "3"),    # TSLAB + WIDE
 ])
 def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2,
                                             dtype, wide):
@@ -237,14 +239,18 @@ def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2,
     from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
     from mvsnet_tpu.ops.pallas import sweep
 
+    tslab = wide in ("2", "3")
     monkeypatch.setenv("MVSNET_TPU_SWEEP_COMB16", comb16)
     monkeypatch.setenv("MVSNET_TPU_SWEEP_MM2", mm2)
-    monkeypatch.setenv("MVSNET_TPU_SWEEP_WIDE", wide)
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_WIDE",
+                       "1" if wide in ("1", "3") else "0")
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_TSLAB", "1" if tslab else "0")
     importlib.reload(sweep)
     try:
         assert sweep._COMB16 == (comb16 == "1")
         assert sweep._MM2 == (mm2 == "1")
-        assert sweep._WIDE == (wide == "1")
+        assert sweep._WIDE == (wide in ("1", "3"))
+        assert sweep._TSLAB == tslab
         rng = np.random.default_rng(29)
         H, W, C, D, Vm1 = 32, 256, 8, 3, 2
         ref = jnp.asarray(rng.standard_normal((H, W, C)), dtype)
@@ -264,6 +270,7 @@ def test_fused_cost_volume_group_comb16_mm2(monkeypatch, comb16, mm2,
         monkeypatch.delenv("MVSNET_TPU_SWEEP_COMB16")
         monkeypatch.delenv("MVSNET_TPU_SWEEP_MM2")
         monkeypatch.delenv("MVSNET_TPU_SWEEP_WIDE")
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_TSLAB")
         importlib.reload(sweep)
 
 

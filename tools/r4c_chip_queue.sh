@@ -78,8 +78,17 @@ run ab3_wide_c16 2400 env MVSNET_TPU_SWEEP_WIDE=1 MVSNET_TPU_SWEEP_COMB16=1 \
     python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
 run ab3_def_b 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
 
-# GRU point WIDE
+# TSLAB (MXU-native matmul orientation) A/Bs
+run ab3_tslab 2400 env MVSNET_TPU_SWEEP_TSLAB=1 \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run ab3_tslab_wide 2400 env MVSNET_TPU_SWEEP_TSLAB=1 MVSNET_TPU_SWEEP_WIDE=1 \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run ab3_def_c 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+
+# GRU point WIDE / TSLAB
 run ab3_gcost_wide 2400 env MVSNET_TPU_SWEEP_WIDE=1 \
+    python tools/bench_sweep.py --point gru --skip-warp --skip-check
+run ab3_gcost_tslab 2400 env MVSNET_TPU_SWEEP_TSLAB=1 \
     python tools/bench_sweep.py --point gru --skip-warp --skip-check
 
 cd "$REPO"
