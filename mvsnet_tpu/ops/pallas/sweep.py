@@ -531,6 +531,14 @@ _MM2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_MM2", "0")))
 # (288 -> 384 at the 3DCNN point; the padded VMEM model gates it).
 # KBLK == W (the NT=1 default) only.
 _TSLAB = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_TSLAB", "0")))
+# Diagnostic ablations (WRONG NUMERICS — bench-only, --skip-check):
+#   tent  = skip the horizontal tent build (wx0 := iota)
+#   mm    = skip the tap matmuls (hw := a wx0 slice)
+#   comb  = skip the vertical combine + rw build (acc := one hw slice)
+# One chip run each decomposes the kernel's true time budget — the
+# op-level model has been ~2x off since round 1 and TENT16/MM2 nulls
+# say the guesses were wrong.
+_ABLATE = _os.environ.get("MVSNET_TPU_SWEEP_ABLATE", "")
 # A/B knob: FULL-WIDTH vertical combine. The r4 chip TENT16 null result
 # (71.3 vs 71.4 ms — halving tent elementwise width changed nothing)
 # says the kernel is bound by vector-op ISSUE count, not element
@@ -607,7 +615,10 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         base_cols = iota_kg
                     else:
                         base_cols = (jb8 * 8).astype(jnp.float32) + iota_kg
-                    wx0 = _tent_cols(base_cols, xcat, src_dtype)
+                    if _ABLATE == "tent":
+                        wx0 = (base_cols * 1e-3).astype(src_dtype)
+                    else:
+                        wx0 = _tent_cols(base_cols, xcat, src_dtype)
                     # (KBLK, G*TW)
 
                     def hwin(start, jb8k, jlo, wx0=wx0, xcat=xcat, v=v,
@@ -645,7 +656,15 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             preferred_element_type=jnp.float32,
                             precision=precision)             # (BAND*C, G*TW)
 
-                    def hwfull(start, jb8=jb8, kex=kex, hwin=hwin):
+                    def hwfull(start, jb8=jb8, kex=kex, hwin=hwin,
+                               wx0=wx0):
+                        if _ABLATE == "mm":
+                            # hw := a wx0 slice (no matmul, no slab read)
+                            if KBLK >= BAND * C:
+                                return wx0[:BAND * C, :].astype(hw_dtype)
+                            return jnp.broadcast_to(
+                                wx0[:1, :], (BAND * C, G * TW)
+                            ).astype(hw_dtype)
                         hw = hwin(start, jb8, None)
 
                         def hextra(k, a, start=start, jb8=jb8, hwin=hwin):
@@ -658,6 +677,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         return hw.astype(hw_dtype)
 
                     def vertw(hw, start, masked, ycat_=None):
+                        if _ABLATE == "comb":
+                            return hw[0:C, :].astype(jnp.float32)
                         # full-width combine: one rw build + BAND FMAs at
                         # (C, G*TW) instead of G sliced ones (see _WIDE)
                         rows = start.astype(jnp.float32) + iota_bg
@@ -674,6 +695,10 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         return a.astype(jnp.float32)         # (C, G*TW)
 
                     def vert(hw, start, masked, yrows=yrows):
+                        if _ABLATE == "comb":
+                            return tuple(
+                                hw[0:C, g * TW:(g + 1) * TW].astype(
+                                    jnp.float32) for g in range(G))
                         rows = start.astype(jnp.float32) + iota_b  # (BAND,TW)
                         keep = None
                         if masked is not None:

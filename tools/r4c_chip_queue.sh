@@ -85,6 +85,16 @@ run ab3_tslab_wide 2400 env MVSNET_TPU_SWEEP_TSLAB=1 MVSNET_TPU_SWEEP_WIDE=1 \
     python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
 run ab3_def_c 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
 
+# Ablation decomposition (WRONG NUMERICS, timing only): full - ablated
+# = that stage's true cost. Run inside the same window as ab3_def_c.
+run abl_tent 2400 env MVSNET_TPU_SWEEP_ABLATE=tent \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run abl_mm 2400 env MVSNET_TPU_SWEEP_ABLATE=mm \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run abl_comb 2400 env MVSNET_TPU_SWEEP_ABLATE=comb \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run ab3_def_d 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+
 # GRU point WIDE / TSLAB
 run ab3_gcost_wide 2400 env MVSNET_TPU_SWEEP_WIDE=1 \
     python tools/bench_sweep.py --point gru --skip-warp --skip-check
