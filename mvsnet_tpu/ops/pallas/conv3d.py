@@ -59,8 +59,16 @@ _FSTORE = _os.environ.get("MVSNET_TPU_CONV3D_FSTORE", "0") not in ("0", "")
 # output element. dx stays seam-masked lane shifts; dy stays the P-ring;
 # the dz scatter becomes 2 lane-rolls + 3 selects per row (a roll by W
 # swaps the two slabs' halves, which is exactly the odd-dz slab move).
-# Outputs emit 2 slabs/cell. Off by default until the chip A/B.
-_DPACK = _os.environ.get("MVSNET_TPU_CONV3D_DPACK", "0") not in ("0", "")
+# Outputs emit 2 slabs/cell.
+# Chip A/B (r4_queue ab_conv_def vs ab_conv_dpack, same window, s2
+# control 9.95/10.07): 8->1 full 5.63 -> 0.15 ms, 16->16 half
+# 2.13 -> 1.35, but 32->8 full 7.00 -> 8.33 — the mask/roll VPU work
+# scales with C, same shape as the row-PACK result. DEFAULT: D-pack for
+# C <= 16 (beats row-PACK there and replaces it); env =1 forces it
+# everywhere, =0 disables.
+_DPACK_ENV = _os.environ.get("MVSNET_TPU_CONV3D_DPACK", "")
+_DPACK = _DPACK_ENV not in ("0", "")
+_DPACK_AUTO = _DPACK_ENV == ""          # default: C <= 16 only
 # Row-loop MANUAL unroll factor (rows per fori iteration): the
 # row-aspect probe (r3b_rowprobe.log) fits t = rows*210ns +
 # rows*W*0.44ns — if the 210 ns/row fixed cost is loop machinery,
@@ -687,8 +695,9 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
             pack = 4 if H % 4 == 0 else (2 if H % 2 == 0 else 1)
         if forced:
             pack = int(forced) if H % int(forced) == 0 else 1
-        dpack = (_DPACK and rowconv3d_dpack_supported(D, H, W, C, cout,
-                                                      x.dtype))
+        want_dpack = (C <= 16) if _DPACK_AUTO else _DPACK
+        dpack = (want_dpack and rowconv3d_dpack_supported(D, H, W, C, cout,
+                                                          x.dtype))
         if dpack:
             pack = 1
         HP, WP = H // pack, pack * W
