@@ -22,6 +22,7 @@ module is the pure-XLA reference implementation and the fallback on CPU.
 from __future__ import annotations
 
 import logging
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,13 @@ import jax.numpy as jnp
 from mvsnet_tpu.ops.warp import bilinear_sample, projected_coords
 
 logger = logging.getLogger("mvsnet_tpu.ops.cost_volume")
+
+# Training-path knob: route differentiable cost volumes through the fused
+# kernel's custom VJP (pallas_sweep_cost_volume_ad) instead of per-view
+# warp + XLA variance. The fused forward is ~2-4x the per-view warp path
+# and the VJP saves only the inputs (the autodiff path residual-saves
+# every warped volume). Off until the chip train-step A/B lands.
+_COST_AD = _os.environ.get("MVSNET_TPU_COST_AD", "0") not in ("0", "")
 
 
 def _sweep_chunk(ref_feature, view_features, homs_chunk, fill_mode):
@@ -118,6 +126,7 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             pallas_cost_sharded_supported,
             pallas_cost_supported,
             pallas_sweep_cost_volume,
+            pallas_sweep_cost_volume_ad,
             pallas_sweep_cost_volume_sharded,
             pallas_sweep_supported,
             pallas_warp_all_depths,
@@ -151,6 +160,19 @@ def plane_sweep_cost_volume(ref_feature, view_features, homographies,
             outs = [pallas_sweep_cost_volume(ref_feature[b], views_bmajor[b],
                                              homs_bmajor[b], cw_out=cw_out)
                     for b in range(B)]
+            return jnp.stack(outs, axis=0).astype(out_dtype)
+        elif (differentiable and _COST_AD
+                and pallas_cost_supported(H, W, C, V_minus_1,
+                                          ref_feature.dtype)
+                and pallas_sweep_supported(H, W, C, ref_feature.dtype)):
+            # fused forward + custom VJP (bwd recomputes warps and runs the
+            # transposed-warp kernel; only the inputs are saved as
+            # residuals). MVSNET_TPU_COST_AD=1 opt-in.
+            views_bmajor = jnp.moveaxis(view_features, 0, 1)
+            homs_bmajor = jnp.moveaxis(homographies, 0, 1)
+            outs = [pallas_sweep_cost_volume_ad(
+                ref_feature[b], views_bmajor[b], homs_bmajor[b], False,
+                cw_out) for b in range(B)]
             return jnp.stack(outs, axis=0).astype(out_dtype)
         elif pallas_sweep_supported(H, W, C, ref_feature.dtype):
             if differentiable:

@@ -1365,6 +1365,81 @@ def _warp_ad_bwd(interpret, residuals, g):
 pallas_warp_all_depths_ad.defvjp(_warp_ad_fwd, _warp_ad_bwd)
 
 
+# Peak f32 bwd working set for the fused-cost VJP (all V volumes of one
+# depth chunk live at once); matches cost_volume.py's accumulator bound.
+_COST_AD_CHUNK_BYTES = 2 * 1024 ** 3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_sweep_cost_volume_ad(ref_feature, view_features, homographies,
+                                interpret: bool = False,
+                                cw_out: bool = False):
+    """Differentiable fused variance cost volume (custom VJP).
+
+    Forward runs the fused warp+variance kernel — no per-view warped
+    volumes in HBM and no autodiff residuals beyond the inputs (the
+    plain differentiable path makes JAX save every warped volume for
+    the backward). Backward recomputes each view's warp with the
+    forward sweep kernel and routes the variance cotangent through the
+    transposed-warp kernel:
+
+        cost_d = (1/V) (ref^2 + sum_v w_vd^2) - mean_d^2
+        d cost_d / d ref   = (2/V) (ref  - mean_d)
+        d cost_d / d w_vd  = (2/V) (w_vd - mean_d)
+
+    Camera/homography cotangents are zero (cameras are data in every
+    training path; same contract as pallas_warp_all_depths_ad).
+    Replaces the reference's train-time cost assembly
+    (mvsnet/model.py:314-334) with an O(inputs)-residual formulation.
+    """
+    return pallas_sweep_cost_volume(ref_feature, view_features, homographies,
+                                    interpret=interpret, cw_out=cw_out)
+
+
+def _cost_ad_fwd(ref_feature, view_features, homographies, interpret, cw_out):
+    out = pallas_sweep_cost_volume(ref_feature, view_features, homographies,
+                                   interpret=interpret, cw_out=cw_out)
+    return out, (ref_feature, view_features, homographies)
+
+
+def _cost_ad_bwd(interpret, cw_out, residuals, g):
+    ref, views, homs = residuals
+    H, W, C = ref.shape
+    Vm1, D = homs.shape[:2]
+    V = Vm1 + 1
+    if cw_out:
+        g = jnp.swapaxes(g, -1, -2)                     # -> (D, H, W, C)
+    g32 = g.astype(jnp.float32)
+    ref32 = ref.astype(jnp.float32)
+
+    n_chunks = max(1, -(-(V * D * H * W * C * 4) // _COST_AD_CHUNK_BYTES))
+    dc = -(-D // n_chunks)
+
+    d_ref = jnp.zeros((H, W, C), jnp.float32)
+    d_views = [jnp.zeros((H, W, C), jnp.float32) for _ in range(Vm1)]
+    scale = 2.0 / V
+    for c0 in range(0, D, dc):
+        gd = g32[c0:c0 + dc]
+        warped = [pallas_warp_all_depths(
+            views[v], homs[v, c0:c0 + dc],
+            interpret=interpret).astype(jnp.float32) for v in range(Vm1)]
+        mean = ref32[None]
+        for w in warped:
+            mean = mean + w
+        mean = mean / V
+        d_ref = d_ref + scale * jnp.sum((ref32[None] - mean) * gd, axis=0)
+        for v in range(Vm1):
+            cot = scale * (warped[v] - mean) * gd
+            d_views[v] = d_views[v] + _pallas_warp_transpose(
+                cot, homs[v, c0:c0 + dc], H, W, C, interpret=interpret)
+    return (d_ref.astype(ref.dtype),
+            jnp.stack(d_views).astype(views.dtype),
+            jnp.zeros_like(homs))
+
+
+pallas_sweep_cost_volume_ad.defvjp(_cost_ad_fwd, _cost_ad_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "cw_out"))
 def pallas_sweep_cost_volume(ref_feature, view_features, homographies,
                              interpret: bool = False, cw_out: bool = False):
