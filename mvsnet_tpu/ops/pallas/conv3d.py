@@ -79,6 +79,14 @@ _DPACK_AUTO = _DPACK_ENV == ""          # default: C <= 16 only
 # (r3b_munroll_ab/munroll3_ab logs) — 0_1 14.08 -> 7.0, s2 13.7 -> 9.9;
 # UN=24 trades +0.6 ms on s2 for -0.6 ms on 0_1 (tied in aggregate).
 _UNROLL = int(_os.environ.get("MVSNET_TPU_CONV3D_UNROLL", "8"))
+# s2 tap split: the stride-2 kernel matmuls EVERY source row against all
+# 9 (dz,dy) taps, but an odd source row (2t+1) only ever contributes its
+# dy=1 taps and an even row its dy=0/dy=2 taps — half the issued MACs are
+# discarded. Split the tap matrix into w_even (6*Cout) / w_odd (3*Cout)
+# and matmul each row against only its parity's taps. A/B knob, default
+# off until the chip run (the layer may be issue-bound, not MXU-bound:
+# 9.95 ms vs a ~40 ns/row MXU floor).
+_S2SPLIT = _os.environ.get("MVSNET_TPU_CONV3D_S2SPLIT", "0") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
@@ -634,6 +642,132 @@ def _make_kernel_s2(D: int, H: int, W: int, C: int, Cout: int,
     return kernel
 
 
+def _make_kernel_s2_split(D: int, H: int, W: int, C: int, Cout: int,
+                          has_bias: bool = False, relu: bool = False):
+    """Stride-2 tap-split variant (_S2SPLIT): odd source rows matmul only
+    their dy=1 taps (3*Cout), even rows only dy=0/dy=2 (6*Cout) — half
+    the issued MACs of _make_kernel_s2. Same staging/accumulator wiring.
+
+    Operands: w_even (3C, 6*Cout) cols [(dz*2 + (dy==2))*Cout + co],
+    w_odd (3C, 3*Cout) cols [dz*Cout + co].
+    """
+    H2, W2 = H // 2, W // 2
+
+    def kernel(x_ref, we_ref, wo_ref, *rest):
+        if has_bias:
+            b_ref, out_ref, acc_ref, dz_ref = rest
+        else:
+            (out_ref, acc_ref, dz_ref), b_ref = rest, None
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when((g > 0) & (g % 2 == 0) & (g // 2 < D // 2))
+        def _():
+            acc_ref[pl.ds((g // 2) % 2, 1)] = jnp.zeros((1, H2, Cout, W2),
+                                                        jnp.float32)
+
+        @pl.when(g < D)
+        def _():
+            we = we_ref[...]
+            wo = wo_ref[...]
+
+            def tap_matmul(i, w, zero_edge=True):
+                x2 = x_ref[0, pl.ds(jnp.minimum(i, H - 1), 1)].reshape(
+                    W2, 2 * C)
+                nxt_full = jnp.concatenate(
+                    [x2[1:], jnp.zeros((1, 2 * C), x2.dtype)], axis=0)
+                cat = jnp.concatenate([x2, nxt_full[:, :C]], axis=1)
+                P = jax.lax.dot_general(
+                    w, cat, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (·*Cout, W2)
+                return jnp.where(i < H, P, 0.0) if zero_edge else P
+
+            even = lambda i, ze=True: tap_matmul(i, we, ze)
+            odd = lambda i, ze=True: tap_matmul(i, wo, ze)
+
+            def stage(t, accs):
+                if _FSTORE:
+                    dz_ref[pl.ds(t, 1)] = jnp.concatenate(accs,
+                                                          axis=0)[None]
+                else:
+                    for dz in range(3):
+                        dz_ref[dz, pl.ds(t, 1)] = accs[dz][None]
+
+            def combine(p_even, p_odd, p_nxt, t):
+                # accs[dz] = dy0 of row 2t + dy1 of row 2t+1 + dy2 of
+                # row 2t+2 (even matrix cols: (dz*2 + (dy==2)) chunks)
+                accs = []
+                for dz in range(3):
+                    dn = p_nxt[(dz * 2 + 1) * Cout:(dz * 2 + 2) * Cout]
+                    dn = jnp.where(2 * t + 2 < H, dn, 0.0)
+                    accs.append(p_even[(dz * 2 + 0) * Cout:
+                                       (dz * 2 + 1) * Cout]
+                                + p_odd[dz * Cout:(dz + 1) * Cout]
+                                + dn)
+                return accs
+
+            if _PIPE:
+                UN = _unroll_for(H2)
+
+                def row(i, carry):
+                    p_even, p_odd, p_nxt = carry
+                    for r in range(UN):
+                        t = i * UN + r
+                        p_odd2 = odd(2 * t + 3, False)
+                        p_nxt2 = even(2 * t + 4, False)
+                        stage(t, combine(p_even, p_odd, p_nxt, t))
+                        p_even, p_odd, p_nxt = p_nxt, p_odd2, p_nxt2
+                    return p_even, p_odd, p_nxt
+
+                jax.lax.fori_loop(0, H2 // UN, row,
+                                  (even(0, False), odd(1, False),
+                                   even(2, False)))
+            else:
+                def row(t, p_even):
+                    p_odd = odd(2 * t + 1)
+                    p_nxt = even(2 * t + 2)
+                    stage(t, combine(p_even, p_odd, p_nxt, t))
+                    return p_nxt
+
+                jax.lax.fori_loop(0, H2, row, even(0))
+
+            for dz in range(3):
+                @pl.when(((g - dz) % 2 == 0) & (g - dz >= 0)
+                         & ((g - dz) // 2 < D // 2))
+                def _(dz=dz):
+                    slot = pl.ds(((g - dz) // 2) % 2, 1)
+                    if _FSTORE:
+                        acc_ref[slot] += (
+                            dz_ref[:, dz * Cout:(dz + 1) * Cout][None])
+                    else:
+                        acc_ref[slot] += dz_ref[dz:dz + 1]
+
+        @pl.when((g >= 2) & (g % 2 == 0))
+        def _():
+            _emit(acc_ref[pl.ds((g // 2 - 1) % 2, 1)], b_ref, relu, out_ref)
+
+    return kernel
+
+
+def _weights_s2_split(kernel):
+    """(3,3,3,Cin,Cout) -> w_even (3*Cin, 6*Cout), w_odd (3*Cin, 3*Cout).
+
+    Column orders match _make_kernel_s2_split: even [(dz*2+(dy==2))*Cout],
+    odd [dz*Cout]."""
+    wr = _weights_wide(kernel)                       # (3C, [(dz*3+dy)*Co])
+    cout = kernel.shape[-1]
+    ev = jnp.concatenate(
+        [wr[:, (dz * 3 + dy) * cout:(dz * 3 + dy + 1) * cout]
+         for dz in range(3) for dy in (0, 2)], axis=1)
+    od = jnp.concatenate(
+        [wr[:, (dz * 3 + 1) * cout:(dz * 3 + 2) * cout]
+         for dz in range(3)], axis=1)
+    return ev, od
+
+
 def rowconv3d_supported(D: int, H: int, W: int, C: int, Cout: int,
                         dtype=jnp.bfloat16) -> bool:
     """VMEM model with tile padding: everything is channel-second-minor
@@ -739,7 +873,10 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
             # slicing only exists in W-minor order, so pay the relayout
             # here (net zero: the producer skipped its output transpose).
             x = jnp.transpose(x, (0, 1, 2, 4, 3))
-        kern = _make_kernel_s2(D, H, W, C, cout, has_bias, relu)
+        if _S2SPLIT:
+            kern = _make_kernel_s2_split(D, H, W, C, cout, has_bias, relu)
+        else:
+            kern = _make_kernel_s2(D, H, W, C, cout, has_bias, relu)
         out_shape = (D // 2, H // 2, cout, W // 2)
         out_spec = pl.BlockSpec((1, H // 2, cout, W // 2),
                                 lambda g: (jnp.maximum(g // 2 - 1, 0), 0, 0, 0),
@@ -761,6 +898,17 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
             pl.BlockSpec(wr.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    elif stride == 2 and _S2SPLIT:
+        we, wo = _weights_s2_split(kernel)
+        in_specs = [
+            pl.BlockSpec((1,) + in_block,
+                         lambda g: (jnp.minimum(g, D - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(we.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
         in_specs = [
             pl.BlockSpec((1,) + in_block,
@@ -769,7 +917,10 @@ def _rowconv3d_fwd_impl(x, kernel, bias=None, stride: int = 1,
             pl.BlockSpec(wr.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-    operands = [wr.astype(x.dtype)]
+    if stride == 2 and _S2SPLIT:
+        operands = [we.astype(x.dtype), wo.astype(x.dtype)]
+    else:
+        operands = [wr.astype(x.dtype)]
     if has_bias:
         # per-channel bias broadcast to the kernel's (Cout, W') lane tile
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],

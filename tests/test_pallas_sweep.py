@@ -724,6 +724,44 @@ class TestRowConv3D:
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
 
+    @pytest.mark.parametrize("cin,cout,cw", [(32, 16, False), (16, 8, True)])
+    def test_stride2_tap_split_matches_xla(self, monkeypatch, cin, cout, cw):
+        """MVSNET_TPU_CONV3D_S2SPLIT: parity-split tap matmuls (odd rows
+        dy=1 only, even rows dy=0/2) — half the issued MACs, identical
+        output. Fwd + fused bias/ReLU + CW layouts."""
+        import importlib
+
+        from mvsnet_tpu.ops.pallas import conv3d
+
+        monkeypatch.setenv("MVSNET_TPU_CONV3D_S2SPLIT", "1")
+        importlib.reload(conv3d)
+        try:
+            assert conv3d._S2SPLIT
+            rng = np.random.default_rng(8)
+            x = jnp.asarray(rng.standard_normal((1, 6, 16, 24, cin)),
+                            jnp.float32)
+            k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.1,
+                            jnp.float32)
+            b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+            exp = jnp.maximum(conv3d._xla_conv3d(x, k, 2) + b, 0.0)
+            if cw:
+                got = conv3d.rowconv3d_fused(
+                    jnp.swapaxes(x, -1, -2), k, b, stride=2, relu=True,
+                    cw_in=True, cw_out=True)
+                got = jnp.swapaxes(got, -1, -2)
+            else:
+                got = conv3d.rowconv3d_fused(x, k, b, stride=2, relu=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                       atol=2e-5, rtol=1e-5)
+            # plain fwd too (no bias/relu epilogue)
+            np.testing.assert_allclose(
+                np.asarray(conv3d.rowconv3d_interpret(x, k, 2)),
+                np.asarray(conv3d._xla_conv3d(x, k, 2)),
+                atol=2e-5, rtol=1e-5)
+        finally:
+            monkeypatch.delenv("MVSNET_TPU_CONV3D_S2SPLIT")
+            importlib.reload(conv3d)
+
 
 class TestRowConv2D:
     """Per-row wide-N 2D conv kernel (ops/pallas/conv2d.py) vs XLA."""

@@ -88,7 +88,12 @@ run tr_step_ad 4800 env MVSNET_TPU_COST_AD=1 \
     python tools/bench_train_stages.py --stage step
 run tr_cost_def_b 1800 python tools/bench_train_stages.py --stage cost
 
-# 2. end-of-round full bench at final defaults
+# 2. s2 tap-split conv A/B (other three layers are the same-window control)
+run ab4_conv_def 3600 python tools/bench_conv.py --case pallas3d
+run ab4_conv_s2split 3600 env MVSNET_TPU_CONV3D_S2SPLIT=1 \
+    python tools/bench_conv.py --case pallas3d
+
+# 3. end-of-round full bench at final defaults
 run bench_final 4800 env BENCH_EXTRAS=1 python bench.py
 
 cd "$REPO"
