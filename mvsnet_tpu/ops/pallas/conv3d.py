@@ -1031,8 +1031,13 @@ def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
 
 @functools.lru_cache(maxsize=None)
 def _make_rowconv3d_s2(cw_in: bool, cw_out: bool):
-    """Differentiable s2 conv for a fixed layout contract (see s1); the
-    whole backward runs XLA's native conv grads on NDHWC views."""
+    """Differentiable s2 conv for a fixed layout contract (see s1).
+
+    dx runs the Pallas stride-2 DECONV kernel (deconv3d.py) with the
+    flipped/transposed filter — the exact adjoint (the deconv's own dx
+    rides this kernel in the opposite direction; the filter transform is
+    an involution). dk (and the dx fallback when the deconv's VMEM model
+    declines) uses XLA's native conv grads on NDHWC views."""
 
     @jax.custom_vjp
     def f(x, kernel):
@@ -1044,11 +1049,28 @@ def _make_rowconv3d_s2(cw_in: bool, cw_out: bool):
         return f(x, kernel), (x, kernel)
 
     def bwd(res, g):
+        from mvsnet_tpu.ops.pallas.deconv3d import (  # noqa: PLC0415
+            _rowdeconv3d_fwd_impl, rowdeconv3d_supported)
         x, kernel = res
+        g = g.astype(x.dtype)
+        q = _flip(kernel).astype(x.dtype)            # (3,3,3,Cout,Cin)
+        if cw_out:
+            gD, gH, gW = g.shape[1], g.shape[2], g.shape[4]
+        else:
+            gD, gH, gW = g.shape[1], g.shape[2], g.shape[3]
+        if rowdeconv3d_supported(gD, gH, gW, q.shape[3], q.shape[4],
+                                 g.dtype):
+            dx = _rowdeconv3d_fwd_impl(g, q, interpret=_auto_interpret(),
+                                       cw_in=cw_out, cw_out=cw_in)
+            x_n = _swap_cw(x) if cw_in else x
+            g_n = _swap_cw(g) if cw_out else g
+            _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 2), kernel)
+            (dk,) = wgrad(g_n)
+            return dx, dk
         x_n = _swap_cw(x) if cw_in else x
         g_n = _swap_cw(g) if cw_out else g
         _, grad = jax.vjp(lambda a, k: _xla_conv3d(a, k, 2), x_n, kernel)
-        dx_n, dk = grad(g_n.astype(x.dtype))
+        dx_n, dk = grad(g_n)
         dx = _swap_cw(dx_n) if cw_in else dx_n
         return dx, dk
 

@@ -724,6 +724,38 @@ class TestRowConv3D:
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
 
+    @pytest.mark.parametrize("cw", [False, True])
+    def test_stride2_pallas_dx_matches_xla(self, cw):
+        """s2 dx via the Pallas deconv kernel (the adjoint involution):
+        predicate-eligible shape (gW % 8 == 0, Cout % 8 == 0) so the
+        Pallas branch actually runs, NHWC and CW contracts."""
+        from mvsnet_tpu.ops.pallas.conv3d import _xla_conv3d, rowconv3d
+        from mvsnet_tpu.ops.pallas.deconv3d import rowdeconv3d_supported
+
+        assert rowdeconv3d_supported(3, 8, 8, 8, 16, jnp.float32)
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((1, 6, 16, 16, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                        jnp.float32)
+        g = jnp.asarray(rng.standard_normal((1, 3, 8, 8, 8)), jnp.float32)
+
+        def loss_p(a, b):
+            if cw:
+                out = rowconv3d(jnp.swapaxes(a, -1, -2), b, 2,
+                                cw_in=True, cw_out=True)
+                out = jnp.swapaxes(out, -1, -2)
+            else:
+                out = rowconv3d(a, b, 2)
+            return jnp.sum(out * g)
+
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(_xla_conv3d(a, b, 2) * g), (0, 1))(x, k)
+        gx2, gk2 = jax.grad(loss_p, (0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                   atol=2e-4, rtol=1e-5)
+
     @pytest.mark.parametrize("cin,cout,cw", [(32, 16, False), (16, 8, True)])
     def test_stride2_tap_split_matches_xla(self, monkeypatch, cin, cout, cw):
         """MVSNET_TPU_CONV3D_S2SPLIT: parity-split tap matmuls (odd rows
