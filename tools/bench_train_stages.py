@@ -126,8 +126,23 @@ def main():
             return out
 
         t = grad_time(reg_fb, cv, variables)
-        print(f"RegNetUS0 fwd+bwd           {t*1e3:7.2f} ms", flush=True)
+        print(f"RegNetUS0 fwd+bwd (dx)      {t*1e3:7.2f} ms", flush=True)
         results["regnet_fb_s"] = round(t, 5)
+
+        # dk visibility: grad wrt params adds the per-layer XLA wgrads on
+        # top of the dx chain (the cotangent chain is shared)
+        t2 = grad_time(lambda v, x: reg_fb(x, v), variables, cv)
+        print(f"RegNetUS0 fwd+bwd (dk+dx)   {t2*1e3:7.2f} ms", flush=True)
+        results["regnet_fb_dk_s"] = round(t2, 5)
+
+        # BN-stat share: eval-mode BN (running stats, no batch reductions)
+        # vs the train-mode number above
+        def reg_eval(x, v):
+            return net.apply(v, x, False)
+
+        t3 = grad_time(reg_eval, cv, variables)
+        print(f"RegNetUS0 fwd+bwd (evalBN)  {t3*1e3:7.2f} ms", flush=True)
+        results["regnet_fb_evalbn_s"] = round(t3, 5)
 
     if want("tail"):
         reg = jnp.asarray(rng.standard_normal((1, D, h, w)), jnp.float32)
