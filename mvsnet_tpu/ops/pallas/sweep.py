@@ -530,7 +530,9 @@ _MM2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_MM2", "0")))
 # orientation, no relayout. Costs lane-padding W in the table scratch
 # (288 -> 384 at the 3DCNN point; the padded VMEM model gates it).
 # KBLK == W (the NT=1 default) only.
-_TSLAB = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_TSLAB", "0")))
+# Chip A/B (r4c, def bracket 71.3/71.4/71.4/71.4): 3DCNN 69.0,
+# GRU 69.0 (def 73.9) — wins both points; DEFAULT ON since r4.
+_TSLAB = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_TSLAB", "1")))
 # Diagnostic ablations (WRONG NUMERICS — bench-only, --skip-check):
 #   tent  = skip the horizontal tent build (wx0 := iota)
 #   mm    = skip the tap matmuls (hw := a wx0 slice)
@@ -547,7 +549,19 @@ _ABLATE = _os.environ.get("MVSNET_TPU_SWEEP_ABLATE", "")
 # (BAND, G*TW) from the lane-concatenated y coords and runs each tap FMA
 # at (C, G*TW) — ~G-fold fewer vector ops for identical element counts.
 # The variance epilogue runs wide too. NT==1 only (the default).
-_WIDE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_WIDE", "0")))
+# Chip A/B (r4c): 3DCNN 69.8 alone, 66.9 stacked with TSLAB (def
+# 71.3-71.4); GRU 72.0 alone (def 73.9) — DEFAULT ON since r4.
+_WIDE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_WIDE", "1")))
+# Cross-instance tent/matmul software pipeline. The r4c ABLATE
+# decomposition attributed the 71.4 ms cost stage to tent build ~44 ms
+# (VPU — f32 ALU; TENT16 was null because VPU throughput is per 32-bit
+# lane, bf16 only narrows memory/MXU) + tap matmuls ~45 ms (MXU) +
+# combine 1.7, i.e. the two big stages run nearly SERIALIZED
+# (27.6 + 43.8 ≈ 71.4). XPIPE reorders the straight-line body: issue
+# instance n's static-block matmuls, then build instance n+1's tent
+# (VPU runs under the MXU), then run n's combines. NT=1 only (KBLK==W,
+# so wx0 is the instance's only tent).
+_XPIPE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_XPIPE", "0")))
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
@@ -592,6 +606,21 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
             iota_bg = jax.lax.broadcasted_iota(jnp.int32, (BAND, G * TW), 0)
             iota_bg = iota_bg.astype(jnp.float32)
 
+        # cross-instance tent pipeline (see _XPIPE): tent(n+1) is built
+        # between instance n's matmul issues and its combines
+        xpipe = _XPIPE and NT == 1 and not _ABLATE
+
+        def xcat_of(p2, v2):
+            ys2 = [G * p2 + g for g in range(G)]
+            return jnp.concatenate(
+                [x_ref[v2, 0, yy:yy + 1, :] for yy in ys2], axis=1)
+
+        seq = [(p2, v2) for p2 in range(RP) for v2 in range(view_count_minus_1)]
+        tent_next = None
+        if xpipe:
+            tent_next = _tent_cols(iota_kg, xcat_of(*seq[0]), src_dtype)
+        inst_idx = 0
+
         for p in range(RP):
             ys = [G * p + g for g in range(G)]
             sums, sqs = [None] * G, [None] * G
@@ -617,6 +646,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         base_cols = (jb8 * 8).astype(jnp.float32) + iota_kg
                     if _ABLATE == "tent":
                         wx0 = (base_cols * 1e-3).astype(src_dtype)
+                    elif xpipe:
+                        wx0 = tent_next                  # built last instance
                     else:
                         wx0 = _tent_cols(base_cols, xcat, src_dtype)
                     # (KBLK, G*TW)
@@ -730,12 +761,32 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                     # residual masked blocks are zero-trip
                     if wide:
                         ycat = jnp.concatenate(yrows, axis=1)  # (1, G*TW)
-                        wv = vertw(hwfull(rbase), rbase, None, ycat)
-                        if _STATIC2:
-                            lo1 = rbase + BAND
-                            start1 = jnp.minimum(lo1, H - BAND)
-                            wv = wv + vertw(hwfull(start1), start1,
-                                            (lo1, lo1 + (BAND - 1)), ycat)
+                        if xpipe:
+                            # matmuls first, tent(n+1) under them, then
+                            # the combines (which await the matmuls)
+                            hw0 = hwfull(rbase)
+                            hw1 = None
+                            if _STATIC2:
+                                lo1 = rbase + BAND
+                                start1 = jnp.minimum(lo1, H - BAND)
+                                hw1 = hwfull(start1)
+                            if inst_idx + 1 < len(seq):
+                                tent_next = _tent_cols(
+                                    iota_kg, xcat_of(*seq[inst_idx + 1]),
+                                    src_dtype)
+                            wv = vertw(hw0, rbase, None, ycat)
+                            if hw1 is not None:
+                                wv = wv + vertw(hw1, start1,
+                                                (lo1, lo1 + (BAND - 1)),
+                                                ycat)
+                        else:
+                            wv = vertw(hwfull(rbase), rbase, None, ycat)
+                            if _STATIC2:
+                                lo1 = rbase + BAND
+                                start1 = jnp.minimum(lo1, H - BAND)
+                                wv = wv + vertw(hwfull(start1), start1,
+                                                (lo1, lo1 + (BAND - 1)),
+                                                ycat)
 
                         def extraw(k, acc, rbase=rbase, hwfull=hwfull,
                                    vertw=vertw, ycat=ycat):
@@ -752,13 +803,19 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             sums_w = sums_w + wv
                             sqs_w = sqs_w + wv * wv
                         continue
-                    if _STATIC2 and _MM2:
+                    if _STATIC2 and (_MM2 or xpipe):
                         # both tap matmuls issue back-to-back so block 1's
-                        # MXU pass overlaps block 0's VPU combine
+                        # MXU pass overlaps block 0's VPU combine; under
+                        # xpipe the NEXT instance's tent slots between the
+                        # matmul issues and the combines
                         lo1 = rbase + BAND
                         start1 = jnp.minimum(lo1, H - BAND)
                         hw0 = hwfull(rbase)
                         hw1 = hwfull(start1)
+                        if xpipe and inst_idx + 1 < len(seq):
+                            tent_next = _tent_cols(
+                                iota_kg, xcat_of(*seq[inst_idx + 1]),
+                                src_dtype)
                         w0 = vert(hw0, rbase, None)
                         e = vert(hw1, start1, (lo1, lo1 + (BAND - 1)))
                         w = [a + b for a, b in zip(w0, e)]
@@ -769,6 +826,10 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             e = block(jnp.minimum(lo1, H - BAND),
                                       (lo1, lo1 + (BAND - 1)))
                             w = [a + b for a, b in zip(w, e)]
+                        if xpipe and inst_idx + 1 < len(seq):
+                            tent_next = _tent_cols(
+                                iota_kg, xcat_of(*seq[inst_idx + 1]),
+                                src_dtype)
 
                     def extra(k, acc, rbase=rbase, block=block):
                         lo = rbase + k * BAND
@@ -781,6 +842,7 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                     for g in range(G):
                         tiles[g].append(w[g])
 
+                inst_idx += 1
                 if wide:
                     continue
                 for g in range(G):

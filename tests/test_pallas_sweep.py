@@ -400,7 +400,12 @@ def test_fused_cost_volume_cchunked():
     homs = jnp.stack([make_homs(D), make_homs(D, rot=-0.03)])
     expected = plane_sweep_cost_volume(ref[None], views[:, None],
                                        homs[:, None])[0]
-    table = Vm1 * H * W * sweep._lane_pad(sweep.BAND * C) * 4  # full-C f32
+    # full-C f32 slab-table bytes under the active layout (TSLAB stores
+    # (H, BAND*C, W) and lane-pads W; the classic layout pads BAND*C)
+    if sweep._TSLAB:
+        table = Vm1 * H * sweep.BAND * C * sweep._lane_pad(W) * 4
+    else:
+        table = Vm1 * H * W * sweep._lane_pad(sweep.BAND * C) * 4
     with mock.patch.object(sweep, "_VMEM_LIMIT",
                            8 * 2 ** 20 + table // 2 + 100 * 1024):
         assert sweep._preload_cchunk(H, W, C, Vm1, jnp.float32) == C // 2
@@ -488,6 +493,43 @@ def test_fused_cost_vjp_matches_xla(cw_out):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("extra_env", [
+    {}, {"MVSNET_TPU_SWEEP_WIDE": "1"},
+    {"MVSNET_TPU_SWEEP_TSLAB": "1", "MVSNET_TPU_SWEEP_WIDE": "1"},
+])
+def test_cost_volume_xpipe_matches_xla(monkeypatch, extra_env):
+    """MVSNET_TPU_SWEEP_XPIPE (cross-instance tent pipeline) is a pure
+    reorder: results match XLA under every knob combo it composes with."""
+    import importlib
+
+    from mvsnet_tpu.ops.pallas import sweep as sweep_mod
+    from mvsnet_tpu.ops.cost_volume import plane_sweep_cost_volume
+
+    monkeypatch.setenv("MVSNET_TPU_SWEEP_XPIPE", "1")
+    for k, v in extra_env.items():
+        monkeypatch.setenv(k, v)
+    importlib.reload(sweep_mod)
+    try:
+        assert sweep_mod._XPIPE
+        rng = np.random.default_rng(17)
+        H, W, C, D, Vm1 = 16, 32, 8, 5, 2
+        ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+        views = jnp.asarray(rng.standard_normal((Vm1, H, W, C)), jnp.float32)
+        homs = jnp.stack([make_homs(D), make_homs(D, rot=-0.04,
+                                                  shift_range=9.0)])
+        got = sweep_mod.pallas_sweep_cost_volume(ref, views, homs,
+                                                 interpret=True)
+        exp = plane_sweep_cost_volume(ref[None], views[:, None],
+                                      homs[:, None], use_pallas=False)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_SWEEP_XPIPE")
+        for k in extra_env:
+            monkeypatch.delenv(k)
+        importlib.reload(sweep_mod)
 
 
 def test_fused_cost_vjp_depth_chunked(monkeypatch):

@@ -79,6 +79,16 @@ cd "$SNAP" || { say "FATAL: snapshot worktree failed"; exit 1; }
 rm -rf "$SNAP/bench_logs" && ln -s "$REPO/bench_logs" "$SNAP/bench_logs"
 say "snapshot at $(git rev-parse --short HEAD)"
 
+# 0. XPIPE smoke + cost A/Bs at the new TSLAB+WIDE defaults
+run xp_smoke 2400 env MVSNET_TPU_SWEEP_XPIPE=1 python tools/bench_sweep.py --small
+run xp_def_a 2400 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run xp_on 2400 env MVSNET_TPU_SWEEP_XPIPE=1 \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run xp_def_b 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run xp_gcost_def 2400 python tools/bench_sweep.py --point gru --skip-warp --skip-check
+run xp_gcost_on 2400 env MVSNET_TPU_SWEEP_XPIPE=1 \
+    python tools/bench_sweep.py --point gru --skip-warp --skip-check
+
 # 1. fused-cost VJP train A/Bs (cost stage, then the full step)
 run tr_cost_def 3600 python tools/bench_train_stages.py --stage cost
 run tr_cost_ad 3600 env MVSNET_TPU_COST_AD=1 \
