@@ -1311,20 +1311,24 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
 
     Per (depth, row-block) grid cell, scatter the block's output-row
     cotangents back through the SAME tent matrices, transposed —
-    accumulating into the (H, W, C) cotangent block, whose constant index
-    map persists across the (sequential) grid:
+    accumulating into the (H, C, W) channel-second-minor cotangent block,
+    whose constant index map persists across the (sequential) grid:
 
-      d_src[start+r, j, c] += sum_x wx[j, x] * rw[r, x] * g[x, c]
+      d_src[start+r, c, j] += sum_x wx[j, x] * rw[r, x] * g[x, c]
 
-    computed as ONE (W, W) @ (W, BAND*C) matmul per output row (the RHS is
-    the cotangent row pre-scaled by each band row's vertical tent,
-    lane-concatenated), then BAND accumulating row writes.
+    computed as ONE (W, BAND*C) x (W, W) matmul per output row emitted in
+    (BAND*C, W) orientation, so the band lands as a SINGLE dynamic
+    block-accumulate out[ds(start, BAND)] += contrib.reshape(BAND, C, W)
+    — the prior (H, W, C) edition issued BAND accumulating row-writes
+    per block (16 dynamic RMW stores per output row at _STATIC2), and
+    that scalar-address scatter dominated the train-time cost stage
+    (~120 ms fwd+bwd regardless of the forward's formulation).
 
     x_ref: (1, ROWS, W) coords; yt_ref: (1, 1, W, ROWS) transposed y;
-    g_ref: (1, ROWS, W, C) cotangent rows; out_ref: (H, W, C) f32
-    accumulator.
+    g_ref: (1, ROWS, W, C) cotangent rows; out_ref: (H, C, W) f32
+    accumulator (the wrapper transposes back to (H, W, C)).
     """
-    H, W, C = out_ref.shape
+    H, C, W = out_ref.shape
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -1351,13 +1355,11 @@ def _transpose_kernel(x_ref, yt_ref, g_ref, out_ref):
                 rw = jnp.where(keep, rw, 0.0)
             rhs = jnp.concatenate(
                 [rw[:, r:r + 1] * g_row for r in range(BAND)], axis=1)
-            # d_band[j, (r, c)] = sum_x wx[j, x] rhs[x, (r, c)]
+            # d_band[(r, c), j] = sum_x rhs[x, (r, c)] wx[j, x]
             contrib = jax.lax.dot_general(
-                wx, rhs, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                 # (W, BAND*C)
-            for r in range(BAND):
-                out_ref[pl.ds(start + r, 1), :, :] += (
-                    contrib[:, r * C:(r + 1) * C][None])
+                rhs, wx, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (BAND*C, W)
+            out_ref[pl.ds(start, BAND)] += contrib.reshape(BAND, C, W)
 
         # straight-line second block, residual loop from k=2 (see _warp_row)
         block(rbase, None)
@@ -1391,13 +1393,13 @@ def _pallas_warp_transpose(g, homographies, H, W, C, interpret: bool = False):
             pl.BlockSpec((1, ROWS_PER_CELL, W, C), lambda d, rb: (d, rb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((H, W, C), lambda d, rb: (0, 0, 0),
+        out_specs=pl.BlockSpec((H, C, W), lambda d, rb: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, C, W), jnp.float32),
         interpret=interpret,
         compiler_params=_ARBITRARY2,
     )(x, y_t, g)
-    return out
+    return jnp.transpose(out, (0, 2, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
