@@ -561,6 +561,10 @@ _WIDE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_WIDE", "1")))
 # instance n's static-block matmuls, then build instance n+1's tent
 # (VPU runs under the MXU), then run n's combines. NT=1 only (KBLK==W,
 # so wx0 is the instance's only tent).
+# Chip A/B (r4d, def bracket 67.0/67.1): 3DCNN 71.5, GRU 76.2 vs def
+# 66.1 — REFUTED. The ablation marginals (43.8 + 45.5 vs 71.4 total)
+# show Mosaic already overlaps ~18 ms; holding two live tents only adds
+# scratch pressure. Default OFF, kept for the record like FSTORE.
 _XPIPE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_XPIPE", "0")))
 
 
