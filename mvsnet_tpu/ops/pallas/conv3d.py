@@ -83,10 +83,10 @@ _UNROLL = int(_os.environ.get("MVSNET_TPU_CONV3D_UNROLL", "8"))
 # 9 (dz,dy) taps, but an odd source row (2t+1) only ever contributes its
 # dy=1 taps and an even row its dy=0/dy=2 taps — half the issued MACs are
 # discarded. Split the tap matrix into w_even (6*Cout) / w_odd (3*Cout)
-# and matmul each row against only its parity's taps. A/B knob, default
-# off until the chip run (the layer may be issue-bound, not MXU-bound:
-# 9.95 ms vs a ~40 ns/row MXU floor).
-_S2SPLIT = _os.environ.get("MVSNET_TPU_CONV3D_S2SPLIT", "0") not in ("0", "")
+# and matmul each row against only its parity's taps.
+# Chip A/B (r4d ab4): s2 10.19 -> 9.12 ms while every s1 control
+# DRIFTED UP 4-16% in the same arm — true win >= 10%. DEFAULT ON.
+_S2SPLIT = _os.environ.get("MVSNET_TPU_CONV3D_S2SPLIT", "1") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
