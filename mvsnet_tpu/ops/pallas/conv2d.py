@@ -26,7 +26,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from mvsnet_tpu.ops.pallas.conv3d import _unroll_for
+
+# 2D analog of conv3d._S2SPLIT (parity-split s2 tap matmuls — halves
+# issued MACs; the 3D edition chip-won >=10%). A/B knob, default off
+# until the chip run.
+_S2SPLIT2D = _os.environ.get("MVSNET_TPU_CONV2D_S2SPLIT",
+                             "0") not in ("0", "")
 
 _VMEM_LIMIT = 100 * 2 ** 20
 _ARBITRARY1 = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -388,6 +396,72 @@ def _make_kernel2d_s2(TB: int, W2: int, C: int, Cout: int, K: int = 3,
     return kernel
 
 
+def _make_kernel2d_s2_split(TB: int, W2: int, C: int, Cout: int, K: int = 3,
+                            has_bias: bool = False, relu: bool = False):
+    """Tap-split edition of _make_kernel2d_s2 (see conv3d._S2SPLIT): an
+    EVEN table row j only ever contributes its even-dy taps (dy = j - 2t)
+    and an odd row its odd-dy taps, so matmulling every row against all K
+    dy blocks discards half the issued MACs. Operands: w_even
+    (ceil(K/2)*Cout, K*C) rows (dy in 0,2[,4]; co), w_odd
+    (floor(K/2)*Cout, K*C) rows (dy in 1[,3]; co)."""
+
+    def kernel(cat_ref, we_ref, wo_ref, *rest):
+        if has_bias:
+            b_ref, out_ref = rest
+        else:
+            (out_ref,), b_ref = rest, None
+        we = we_ref[...]
+        wo = wo_ref[...]
+
+        def tap(i, even):
+            x = cat_ref[0, pl.ds(i, 1)].reshape(K * C, W2)
+            return jax.lax.dot_general(
+                we if even else wo, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # ((ne|no)*Cout, W2)
+
+        def emit(v):
+            if b_ref is not None:
+                v = v + b_ref[...]
+            if relu:
+                v = jnp.maximum(v, 0.0)
+            return v.astype(out_ref.dtype)
+
+        UN = _unroll_for(TB)
+
+        def row(i, carry):                # carry: P(2t) .. P(2t+K-3)
+            for r in range(UN):
+                t = i * UN + r
+                # table offsets K-2 (odd for odd K) and K-1 (even)
+                pa = tap(2 * t + K - 2, even=False)
+                pb = tap(2 * t + K - 1, even=True)
+                ps = carry + (pa, pb)
+                v = ps[0][0:Cout]                      # dy=0: even block 0
+                for dy in range(1, K):
+                    blk = dy // 2 if dy % 2 == 0 else (dy - 1) // 2
+                    v = v + ps[dy][blk * Cout:(blk + 1) * Cout]
+                out_ref[0, pl.ds(t, 1)] = emit(v)[None]
+                carry = ps[2:]
+            return carry
+
+        # carry inits are live tap results (see _make_kernel2d_s2)
+        init = tuple(tap(i, even=(i % 2 == 0)) for i in range(K - 2))
+        jax.lax.fori_loop(0, TB // UN, row, init)
+
+    return kernel
+
+
+def _weights_wide2d_s2_split(kernel):
+    """(K,K,Cin,Cout) -> (w_even, w_odd) parity-split dy blocks, orders
+    matching _make_kernel2d_s2_split."""
+    w = _weights_wide2d_s2(kernel)                    # rows (dy, co)
+    K, cout = kernel.shape[0], kernel.shape[-1]
+    we = jnp.concatenate([w[dy * cout:(dy + 1) * cout]
+                          for dy in range(0, K, 2)], axis=0)
+    wo = jnp.concatenate([w[dy * cout:(dy + 1) * cout]
+                          for dy in range(1, K, 2)], axis=0)
+    return we, wo
+
+
 def _fold_dx_s2(x, K: int = 3):
     """(B, H, W, C) -> (B, H + K - 2, K*C, W2) dx-tap table.
 
@@ -472,17 +546,31 @@ def _rowconv2d_s2_fwd_impl(x, kernel, bias=None, relu: bool = False,
         b2d = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
                                (cout, WP))
 
-    kern = _make_kernel2d_s2(TB, WP, C, cout, K, has_bias, relu)
+    if _S2SPLIT2D:
+        kern = _make_kernel2d_s2_split(TB, WP, C, cout, K, has_bias, relu)
+        we, wo = _weights_wide2d_s2_split(kernel)
+        we, wo = we.astype(x.dtype), wo.astype(x.dtype)
+    else:
+        kern = _make_kernel2d_s2(TB, WP, C, cout, K, has_bias, relu)
     rows_blk = 2 * TB + K - 2
 
     def band(cb):                                     # (rows_blk, K*C, WP)
         in_specs = [
             pl.BlockSpec((1, rows_blk, K * C, WP),
                          lambda g: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2.shape, lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
         ]
-        operands = [w2]
+        if _S2SPLIT2D:
+            in_specs += [
+                pl.BlockSpec(we.shape, lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wo.shape, lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            operands = [we, wo]
+        else:
+            in_specs.append(pl.BlockSpec(w2.shape, lambda g: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands = [w2]
         if has_bias:
             in_specs.append(pl.BlockSpec((cout, WP), lambda g: (0, 0),
                                          memory_space=pltpu.VMEM))

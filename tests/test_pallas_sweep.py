@@ -303,6 +303,33 @@ def test_conv2d_bpack_matches_xla(monkeypatch, shape, cw):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("K,cin,cout", [(3, 3, 16), (5, 8, 16)])
+def test_conv2d_s2_tap_split_matches_xla(monkeypatch, K, cin, cout):
+    """MVSNET_TPU_CONV2D_S2SPLIT: parity-split s2 tap matmuls (2D analog
+    of the chip-won conv3d split), 3x3 and 5x5, fused bias/ReLU."""
+    import importlib
+
+    from mvsnet_tpu.ops.pallas import conv2d
+
+    monkeypatch.setenv("MVSNET_TPU_CONV2D_S2SPLIT", "1")
+    importlib.reload(conv2d)
+    try:
+        assert conv2d._S2SPLIT2D
+        rng = np.random.default_rng(19)
+        x = jnp.asarray(rng.standard_normal((2, 16, 32, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((K, K, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        got = conv2d._rowconv2d_s2_fwd_impl(x, k, b, relu=True,
+                                            interpret=True)
+        exp = jnp.maximum(conv2d._xla_conv2d_s2(x, k) + b, 0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=2e-5, rtol=1e-5)
+    finally:
+        monkeypatch.delenv("MVSNET_TPU_CONV2D_S2SPLIT")
+        importlib.reload(conv2d)
+
+
 def test_s2_and_deconv2d_bpack_match_xla(monkeypatch):
     """BPACK for the s2 conv (lane-shift-free tables, pack is free) and
     the parity-split deconv (seam-masked dx=2 shift)."""
