@@ -36,9 +36,16 @@ def timed(fn, *args, iters=6):
             perturbed = jax.tree.map(
                 lambda t: (t + carry * 1e-30).astype(t.dtype), a[0])
             out = fn(*((perturbed,) + a[1:]))
-            return jnp.sum(jnp.asarray(
-                jax.tree.leaves(jax.tree.map(jnp.sum, out))[0]
-            )).astype(jnp.float32)
+            # reduce EVERY leaf: fetching only leaves[0] lets XLA dead-
+            # code-eliminate the rest of the computation (a param-grad
+            # pytree measured as "-0.07 ms" in r4e because only the last
+            # layer's dk survived DCE)
+            sums = jax.tree.leaves(jax.tree.map(
+                lambda t: jnp.sum(t.astype(jnp.float32)), out))
+            total = sums[0]
+            for s in sums[1:]:
+                total = total + s
+            return total.astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     float(loop(1, *args))
@@ -135,14 +142,9 @@ def main():
         print(f"RegNetUS0 fwd+bwd (dk+dx)   {t2*1e3:7.2f} ms", flush=True)
         results["regnet_fb_dk_s"] = round(t2, 5)
 
-        # BN-stat share: eval-mode BN (running stats, no batch reductions)
-        # vs the train-mode number above
-        def reg_eval(x, v):
-            return net.apply(v, x, False)
-
-        t3 = grad_time(reg_eval, cv, variables)
-        print(f"RegNetUS0 fwd+bwd (evalBN)  {t3*1e3:7.2f} ms", flush=True)
-        results["regnet_fb_evalbn_s"] = round(t3, 5)
+        # (an eval-BN grad probe was removed: eval mode dispatches the
+        # FUSED conv kernels, which are non-differentiable by contract —
+        # jax.grad through them crashes in the pallas JVP rule)
 
     if want("tail"):
         reg = jnp.asarray(rng.standard_normal((1, D, h, w)), jnp.float32)
@@ -182,8 +184,12 @@ def main():
         step_fn = train_lib.make_train_step(model, cfg, tcfg, donate=False)
 
         def step(imgs):
-            _, metrics = step_fn(state, (imgs,) + batch[1:])
-            return metrics["loss"]
+            # must depend on new_state or XLA DCEs the whole backward
+            # (see bench.py bench_train)
+            new_state, metrics = step_fn(state, (imgs,) + batch[1:])
+            psum = sum(jnp.sum(p.astype(jnp.float32))
+                       for p in jax.tree.leaves(new_state.params))
+            return metrics["loss"] + 0.0 * psum
 
         t = timed(step, jnp.asarray(images))
         print(f"full train step             {t*1e3:7.2f} ms", flush=True)
