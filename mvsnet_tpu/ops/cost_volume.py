@@ -33,10 +33,13 @@ logger = logging.getLogger("mvsnet_tpu.ops.cost_volume")
 
 # Training-path knob: route differentiable cost volumes through the fused
 # kernel's custom VJP (pallas_sweep_cost_volume_ad) instead of per-view
-# warp + XLA variance. The fused forward is ~2-4x the per-view warp path
-# and the VJP saves only the inputs (the autodiff path residual-saves
-# every warped volume). Off until the chip train-step A/B lands.
-_COST_AD = _os.environ.get("MVSNET_TPU_COST_AD", "0") not in ("0", "")
+# warp + XLA variance. The fused forward replaces ~110 ms of per-view
+# warp forward with ~10 ms, and the VJP saves only the inputs (the
+# autodiff path residual-saves every warped volume, poisoning the rest
+# of the step's scheduling). Chip A/B (r4f, corrected harness, def
+# bracket 616.4/616.3): full step 616 -> 488 ms. DEFAULT ON; =0 restores
+# the per-view warp path.
+_COST_AD = _os.environ.get("MVSNET_TPU_COST_AD", "1") not in ("0", "")
 
 
 def _sweep_chunk(ref_feature, view_features, homs_chunk, fill_mode):
