@@ -87,6 +87,15 @@ _UNROLL = int(_os.environ.get("MVSNET_TPU_CONV3D_UNROLL", "8"))
 # Chip A/B (r4d ab4): s2 10.19 -> 9.12 ms while every s1 control
 # DRIFTED UP 4-16% in the same arm — true win >= 10%. DEFAULT ON.
 _S2SPLIT = _os.environ.get("MVSNET_TPU_CONV3D_S2SPLIT", "1") not in ("0", "")
+# Weight-grad reformulation: XLA's native conv wgrad emits tiny-output
+# convs (Ci x Co results, MXU lane-starved) — the corrected r4f stage
+# bench measured RegNet dk ~137 ms of the 616 ms train step. XWGRAD
+# computes dk as ONE huge-contraction matmul instead:
+#   dk[(dx,ci),(dz,dy,co)] = sum_n xdx[n,(dx,ci)] * gzy[n,(dz,dy,co)]
+# with xdx = lane-concat of the 3 dx-shifted x views and gzy the 9
+# (dz,dy)-shifted g views (zero-padded SAME shifts); K = B*D*H*W. A/B
+# knob, default off until the chip run.
+_XWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_XWGRAD", "0") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
@@ -992,6 +1001,72 @@ def _swap_cw(x):
     return jnp.swapaxes(x, -1, -2)
 
 
+def _shift_zero(a, axis: int, off: int):
+    """Shift `a` by `off` along `axis`, zero-filling (positive = toward
+    higher indices reading from lower ones: out[i] = a[i - off])."""
+    if off == 0:
+        return a
+    n = a.shape[axis]
+    pad = [(0, 0)] * a.ndim
+    if off > 0:
+        pad[axis] = (off, 0)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, n)
+        return jnp.pad(a, pad)[tuple(sl)]
+    pad[axis] = (0, -off)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(-off, n - off)
+    return jnp.pad(a, pad)[tuple(sl)]
+
+
+def _wgrad_matmul_s1(x_n, g_n, kshape):
+    """dk for the SAME s1 3x3x3 conv as one huge-K matmul (see _XWGRAD).
+
+    dk[dz,dy,dx,ci,co] = sum_{zyx} x[z+dz-1, y+dy-1, x+dx-1, ci]
+                                   * g[z, y, x, co]
+    = sum_n xdx[n, (dx,ci)] * gzy[n, (dz,dy,co)] with
+    xdx(dx) = x shifted by (1-dx) in W (x'[n] = x[n+dx-1]) and
+    gzy(dz,dy) = g shifted by (dz-1, dy-1) in (D, H) (g'[p] = g[p-dz+1])
+    — the dx shift rides x, the dz/dy shifts ride g, so the pairing at
+    output offset 0 reproduces every tap.
+    """
+    kd, kh, kw, ci, co = kshape
+    xdx = jnp.concatenate([_shift_zero(x_n, 3, 1 - dx) for dx in range(kw)],
+                          axis=-1)                   # (B,D,H,W, 3ci)
+    gzy = jnp.concatenate([_shift_zero(_shift_zero(g_n, 1, dz - 1),
+                                       2, dy - 1)
+                           for dz in range(kd) for dy in range(kh)],
+                          axis=-1)                   # (B,D,H,W, 9co)
+    flat = jax.lax.dot_general(
+        xdx.reshape(-1, kw * ci), gzy.reshape(-1, kd * kh * co),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (3ci, 9co)
+    dk = flat.reshape(kw, ci, kd, kh, co)
+    return jnp.transpose(dk, (2, 3, 0, 1, 4)).astype(jnp.float32)
+
+
+def _wgrad_matmul_s2(x_n, g_n, kshape):
+    """dk for the SAME s2 3x3x3 conv (pad_low=0: out[t] reads 2t+d):
+
+    dk[dz,dy,dx,ci,co] = sum_{z'y'x'} x[2z'+dz, 2y'+dy, 2x'+dx, ci]
+                                      * g[z', y', x', co]
+    — all 27 taps are strided-shifted views of x paired with the same g,
+    so the 27 (dz,dy,dx) views lane-concat on the x side.
+    """
+    kd, kh, kw, ci, co = kshape
+    B, D, H, W, _ = x_n.shape
+    xp = jnp.pad(x_n, ((0, 0), (0, kd - 1), (0, kh - 1), (0, kw - 1),
+                       (0, 0)))
+    views = [xp[:, dz:dz + D:2, dy:dy + H:2, dx:dx + W:2]
+             for dz in range(kd) for dy in range(kh) for dx in range(kw)]
+    x27 = jnp.concatenate(views, axis=-1)            # (B,D/2,H/2,W/2,27ci)
+    flat = jax.lax.dot_general(
+        x27.reshape(-1, kd * kh * kw * ci), g_n.reshape(-1, co),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (27ci, co)
+    return flat.reshape(kd, kh, kw, ci, co).astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
     """Differentiable s1 conv for a fixed (cw_in, cw_out) layout contract.
@@ -1021,8 +1096,12 @@ def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
                                  cw_in=cw_out, cw_out=cw_in)
         x_n = _swap_cw(x) if cw_in else x
         g_n = _swap_cw(g) if cw_out else g
-        _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 1), kernel)
-        (dk,) = wgrad(g_n)
+        if _XWGRAD:
+            dk = _wgrad_matmul_s1(x_n, g_n,
+                                  kernel.shape).astype(kernel.dtype)
+        else:
+            _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 1), kernel)
+            (dk,) = wgrad(g_n)
         return dx, dk
 
     f.defvjp(fwd, bwd)
@@ -1058,21 +1137,26 @@ def _make_rowconv3d_s2(cw_in: bool, cw_out: bool):
             gD, gH, gW = g.shape[1], g.shape[2], g.shape[4]
         else:
             gD, gH, gW = g.shape[1], g.shape[2], g.shape[3]
+        x_n = _swap_cw(x) if cw_in else x
+        g_n = _swap_cw(g) if cw_out else g
+
+        def dk_of():
+            if _XWGRAD:
+                return _wgrad_matmul_s2(x_n, g_n,
+                                        kernel.shape).astype(kernel.dtype)
+            _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 2), kernel)
+            (dk,) = wgrad(g_n)
+            return dk
+
         if rowdeconv3d_supported(gD, gH, gW, q.shape[3], q.shape[4],
                                  g.dtype):
             dx = _rowdeconv3d_fwd_impl(g, q, interpret=_auto_interpret(),
                                        cw_in=cw_out, cw_out=cw_in)
-            x_n = _swap_cw(x) if cw_in else x
-            g_n = _swap_cw(g) if cw_out else g
-            _, wgrad = jax.vjp(lambda k: _xla_conv3d(x_n, k, 2), kernel)
-            (dk,) = wgrad(g_n)
-            return dx, dk
-        x_n = _swap_cw(x) if cw_in else x
-        g_n = _swap_cw(g) if cw_out else g
-        _, grad = jax.vjp(lambda a, k: _xla_conv3d(a, k, 2), x_n, kernel)
-        dx_n, dk = grad(g_n)
+            return dx, dk_of()
+        _, xgrad = jax.vjp(lambda a: _xla_conv3d(a, kernel, 2), x_n)
+        (dx_n,) = xgrad(g_n)
         dx = _swap_cw(dx_n) if cw_in else dx_n
-        return dx, dk
+        return dx, dk_of()
 
     f.defvjp(fwd, bwd)
     return f

@@ -286,8 +286,19 @@ def _make_rowdeconv3d(cw_in: bool, cw_out: bool):
                 dx = _swap_cw(dx)
         x_n = _swap_cw(x) if cw_in else x
         g_n = _swap_cw(g) if cw_out else g
-        _, wgrad = jax.vjp(lambda k: _xla_deconv3d(x_n, k), kernel)
-        (dk,) = wgrad(g_n)
+        from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
+            _XWGRAD, _wgrad_matmul_s2)
+        if _XWGRAD:
+            # <deconv(x,k), g> = <x, conv_s2(g, q(k))> with the involutive
+            # q = flip+swap (see _conv_grad_kernel), so dk is the q-image
+            # of the s2 conv's wgrad with the roles reversed.
+            dq = _wgrad_matmul_s2(g_n, x_n, (3, 3, 3, kernel.shape[4],
+                                             kernel.shape[3]))
+            dk = jnp.transpose(dq[::-1, ::-1, ::-1],
+                               (0, 1, 2, 4, 3)).astype(kernel.dtype)
+        else:
+            _, wgrad = jax.vjp(lambda k: _xla_deconv3d(x_n, k), kernel)
+            (dk,) = wgrad(g_n)
         return dx, dk
 
     f.defvjp(fwd, bwd)

@@ -825,6 +825,58 @@ class TestRowConv3D:
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
 
+    @pytest.mark.parametrize("case", ["s1", "s2", "s1_cw", "deconv"])
+    def test_xwgrad_matmul_matches_xla(self, monkeypatch, case):
+        """MVSNET_TPU_CONV3D_XWGRAD: dk as one huge-K matmul over
+        shifted-view lane concats (s1/s2 conv + the adjoint-derived
+        deconv) == XLA's native conv wgrad."""
+        import importlib
+
+        from mvsnet_tpu.ops.pallas import conv3d, deconv3d
+
+        monkeypatch.setenv("MVSNET_TPU_CONV3D_XWGRAD", "1")
+        importlib.reload(conv3d)
+        importlib.reload(deconv3d)
+        try:
+            assert conv3d._XWGRAD
+            rng = np.random.default_rng(23)
+            k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                            jnp.float32)
+            if case == "deconv":
+                x = jnp.asarray(rng.standard_normal((2, 4, 8, 16, 16)),
+                                jnp.float32)
+                g = jnp.asarray(rng.standard_normal((2, 8, 16, 32, 8)),
+                                jnp.float32)
+                fn = lambda a, b: deconv3d.rowdeconv3d(a, b)
+                ref = lambda a, b: deconv3d._xla_deconv3d(a, b)
+            else:
+                s = 2 if case == "s2" else 1
+                cwf = case == "s1_cw"
+                x = jnp.asarray(rng.standard_normal((2, 6, 16, 24, 16)),
+                                jnp.float32)
+                g = jnp.asarray(
+                    rng.standard_normal((2, 6 // s, 16 // s, 24 // s, 8)),
+                    jnp.float32)
+                if cwf:
+                    fn = lambda a, b: jnp.swapaxes(conv3d.rowconv3d(
+                        jnp.swapaxes(a, -1, -2), b, s, cw_in=True,
+                        cw_out=True), -1, -2)
+                else:
+                    fn = lambda a, b: conv3d.rowconv3d(a, b, s)
+                ref = lambda a, b: conv3d._xla_conv3d(a, b, s)
+            gx1, gk1 = jax.grad(
+                lambda a, b: jnp.sum(ref(a, b) * g), (0, 1))(x, k)
+            gx2, gk2 = jax.grad(
+                lambda a, b: jnp.sum(fn(a, b) * g), (0, 1))(x, k)
+            np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                       atol=2e-4, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                       atol=2e-5, rtol=1e-5)
+        finally:
+            monkeypatch.delenv("MVSNET_TPU_CONV3D_XWGRAD")
+            importlib.reload(conv3d)
+            importlib.reload(deconv3d)
+
     @pytest.mark.parametrize("cin,cout,cw", [(32, 16, False), (16, 8, True)])
     def test_stride2_tap_split_matches_xla(self, monkeypatch, cin, cout, cw):
         """MVSNET_TPU_CONV3D_S2SPLIT: parity-split tap matmuls (odd rows
