@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 REPO=$PWD
 mkdir -p bench_logs
 L=$REPO/bench_logs/r4g_queue.log
-PREV=$REPO/bench_logs/r4e_queue.log
+PREV=$REPO/bench_logs/r4f_queue.log
 SNAP=/tmp/mvsnet_r4g_snap
 export PYTHONPATH="$SNAP${PYTHONPATH:+:$PYTHONPATH}"
 export MVSNET_BENCH_NO_SENTINEL=1
