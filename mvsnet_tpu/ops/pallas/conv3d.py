@@ -93,9 +93,19 @@ _S2SPLIT = _os.environ.get("MVSNET_TPU_CONV3D_S2SPLIT", "1") not in ("0", "")
 # computes dk as ONE huge-contraction matmul instead:
 #   dk[(dx,ci),(dz,dy,co)] = sum_n xdx[n,(dx,ci)] * gzy[n,(dz,dy,co)]
 # with xdx = lane-concat of the 3 dx-shifted x views and gzy the 9
-# (dz,dy)-shifted g views (zero-padded SAME shifts); K = B*D*H*W. A/B
-# knob, default off until the chip run.
+# (dz,dy)-shifted g views (zero-padded SAME shifts); K = B*D*H*W.
+# Chip A/B (r4g): RegNet dk+dx 206.1 -> 247.6 ms — REFUTED (the 9x
+# shifted-g HBM materialization beats the matmul-shape win). Kept for
+# the record; see _PWGRAD for the in-VMEM answer.
 _XWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_XWGRAD", "0") not in ("0", "")
+# Pallas s1 weight grad: the same huge-K contraction but with the 9-row
+# G matrix built IN VMEM per source row (no HBM concats — the thing
+# that sank XWGRAD): per (slab, row), cat (3C, W) is the fwd kernel's
+# dx-shift build and Gc (9Cout, W) sublane-concats the 9 masked
+# (dz,dy)-paired g rows from a 3-slab g window; one (3C,W)x(9Cout,W)ᵀ
+# MXU dot accumulates into a tiny (3C, 9Cout) f32 scratch. A/B knob,
+# default off until the chip run.
+_PWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_PWGRAD", "0") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
@@ -1067,6 +1077,131 @@ def _wgrad_matmul_s2(x_n, g_n, kshape):
     return flat.reshape(kd, kh, kw, ci, co).astype(jnp.float32)
 
 
+def _make_kernel_dks1(D: int, H: int, W: int, C: int, Cout: int):
+    """Pallas s1 3x3x3 weight grad (see _PWGRAD).
+
+    Grid (D,) sequential over SOURCE slabs s. Cell s pairs x slab s with
+    g slabs z = s+1 (dz=0), s (dz=1), s-1 (dz=2) from a clamped 3-slab
+    window, one MXU dot per source row:
+
+      dk[(dx,ci),(dz,dy,co)] += cat_{s,y}[(dx,ci), x]
+                                 * Gc_{s,y}[(dz,dy,co), x]
+
+    cat = the forward tap_matmul's dx-shift build; Gc sublane-concats
+    the 9 (dz,dy) g rows (y_out = y - dy + 1, zero-masked off-edge).
+    out_ref (3C, 9Cout) f32 accumulates across the grid (constant index
+    map) and the wrapper maps it back to (3,3,3,Ci,Co).
+    """
+
+    def kernel(x_ref, g0_ref, g1_ref, g2_ref, out_ref, acc_ref):
+        # x_ref: (1, H, C, W) slab s (channel-second-minor);
+        # g{dz}_ref: (1, H, Cout, W) g slab z = s + 1 - dz (index map
+        #   clamped; validity derived from s in-kernel);
+        # out_ref: (3C, 9Cout) f32; acc_ref: (3C, 9Cout) f32 scratch.
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        grefs = [g0_ref, g1_ref, g2_ref]
+        valids = [s + 1 < D, jnp.bool_(True), s >= 1]
+
+        def grow(dz, y2):
+            row = grefs[dz][0, pl.ds(jnp.clip(y2, 0, H - 1), 1)].reshape(
+                Cout, W)
+            keep = valids[dz] & (y2 >= 0) & (y2 < H)
+            return jnp.where(keep, row, jnp.zeros_like(row))
+
+        UN = _unroll_for(H)
+
+        def row(i, carry):
+            for r in range(UN):
+                y = i * UN + r
+                x = x_ref[0, pl.ds(y, 1)].reshape(C, W)
+                zero = jnp.zeros((C, 1), x.dtype)
+                left = jnp.concatenate([zero, x[:, :W - 1]], axis=1)
+                right = jnp.concatenate([x[:, 1:], zero], axis=1)
+                cat = jnp.concatenate([left, x, right], axis=0)  # (3C, W)
+                rows = [grow(dz, y - dy + 1)
+                        for dz in range(3) for dy in range(3)]
+                gc = jnp.concatenate(rows, axis=0)     # (9Cout, W)
+                acc_ref[...] += jax.lax.dot_general(
+                    cat, gc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, H // UN, row, 0)
+
+        @pl.when(s == D - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def rowconv3d_dks1_supported(D: int, H: int, W: int, C: int, Cout: int,
+                             dtype=jnp.bfloat16) -> bool:
+    """VMEM model: x slab + 3-slab g window (double-buffered), tiny acc."""
+    item = jnp.dtype(dtype).itemsize
+    wpad = -(-W // 128) * 128
+    cpad = -(-C // 8) * 8
+    copad = -(-Cout // 8) * 8
+    xs = 2 * H * cpad * wpad * item
+    gs = 2 * 3 * H * copad * wpad * item
+    acc = 2 * (3 * cpad) * -(-(9 * Cout) // 128) * 128 * 4
+    return (D >= 3 and W % 8 == 0 and C <= 40 and Cout <= 32
+            and xs + gs + acc < _VMEM_LIMIT - 8 * 2 ** 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_wgrad_s1(x_cw, g_cw, interpret: bool = False):
+    """dk for the SAME s1 conv: x_cw (B, D, H, C, W), g_cw
+    (B, D, H, Cout, W) -> (3, 3, 3, C, Cout) f32."""
+    B, D, H, C_, W = x_cw.shape
+    Cout_ = g_cw.shape[3]
+    kern = _make_kernel_dks1(D, H, W, C_, Cout_)
+
+    def one(xb, gb):
+        return pl.pallas_call(
+            kern,
+            grid=(D,),
+            in_specs=[
+                pl.BlockSpec((1, H, C_, W), lambda s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, Cout_, W),
+                             lambda s: (jnp.minimum(s + 1, D - 1), 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, Cout_, W), lambda s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, Cout_, W),
+                             lambda s: (jnp.maximum(s - 1, 0), 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * C_, 9 * Cout_), lambda s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * C_, 9 * Cout_),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((3 * C_, 9 * Cout_), jnp.float32)],
+            interpret=interpret,
+            compiler_params=_ARBITRARY1,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * D * H * W * 27 * C_ * Cout_,
+                bytes_accessed=(D * H * W * (C_ + 3 * Cout_)
+                                * x_cw.dtype.itemsize),
+                transcendentals=0,
+            ),
+        )(xb, gb, gb, gb)
+
+    flat = one(x_cw[0], g_cw[0])
+    for b in range(1, B):
+        flat = flat + one(x_cw[b], g_cw[b])
+    # flat rows (dx, ci), cols (dz, dy, co) — the _weights_wide layout;
+    # invert its (2,3,0,1,4) permutation (self-inverse)
+    dk = flat.reshape(3, C_, 3, 3, Cout_)
+    return jnp.transpose(dk, (2, 3, 0, 1, 4))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
     """Differentiable s1 conv for a fixed (cw_in, cw_out) layout contract.
@@ -1094,6 +1229,16 @@ def _make_rowconv3d_s1(cw_in: bool, cw_out: bool):
         dx = _rowconv3d_fwd_impl(g, _flip(kernel), stride=1,
                                  interpret=_auto_interpret(),
                                  cw_in=cw_out, cw_out=cw_in)
+        xW = x.shape[4] if cw_in else x.shape[3]
+        if _PWGRAD and rowconv3d_dks1_supported(
+                x.shape[1], x.shape[2], xW,
+                kernel.shape[3], kernel.shape[4], x.dtype):
+            x_cw2 = x if cw_in else _swap_cw(x)      # (B, D, H, C, W)
+            g_cw2 = g if cw_out else _swap_cw(g)
+            dk = _pallas_wgrad_s1(
+                x_cw2, g_cw2,
+                interpret=_auto_interpret()).astype(kernel.dtype)
+            return dx, dk
         x_n = _swap_cw(x) if cw_in else x
         g_n = _swap_cw(g) if cw_out else g
         if _XWGRAD:

@@ -825,6 +825,44 @@ class TestRowConv3D:
         np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
                                    atol=2e-4, rtol=1e-5)
 
+    @pytest.mark.parametrize("cw", [False, True])
+    def test_pwgrad_s1_matches_xla(self, monkeypatch, cw):
+        """MVSNET_TPU_CONV3D_PWGRAD: Pallas s1 weight grad (in-VMEM 9-row
+        G build + one MXU dot per source row) == XLA's conv wgrad."""
+        import importlib
+
+        from mvsnet_tpu.ops.pallas import conv3d
+
+        monkeypatch.setenv("MVSNET_TPU_CONV3D_PWGRAD", "1")
+        importlib.reload(conv3d)
+        try:
+            assert conv3d._PWGRAD
+            rng = np.random.default_rng(29)
+            x = jnp.asarray(rng.standard_normal((2, 6, 16, 24, 16)),
+                            jnp.float32)
+            k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                            jnp.float32)
+            g = jnp.asarray(rng.standard_normal((2, 6, 16, 24, 8)),
+                            jnp.float32)
+
+            def loss_p(b):
+                if cw:
+                    out = conv3d.rowconv3d(jnp.swapaxes(x, -1, -2), b, 1,
+                                           cw_in=True, cw_out=True)
+                    out = jnp.swapaxes(out, -1, -2)
+                else:
+                    out = conv3d.rowconv3d(x, b, 1)
+                return jnp.sum(out * g)
+
+            gk1 = jax.grad(lambda b: jnp.sum(
+                conv3d._xla_conv3d(x, b, 1) * g))(k)
+            gk2 = jax.grad(loss_p)(k)
+            np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                       atol=2e-4, rtol=1e-5)
+        finally:
+            monkeypatch.delenv("MVSNET_TPU_CONV3D_PWGRAD")
+            importlib.reload(conv3d)
+
     @pytest.mark.parametrize("case", ["s1", "s2", "s1_cw", "deconv"])
     def test_xwgrad_matmul_matches_xla(self, monkeypatch, case):
         """MVSNET_TPU_CONV3D_XWGRAD: dk as one huge-K matmul over
