@@ -103,9 +103,11 @@ _XWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_XWGRAD", "0") not in ("0", "")
 # that sank XWGRAD): per (slab, row), cat (3C, W) is the fwd kernel's
 # dx-shift build and Gc (9Cout, W) sublane-concats the 9 masked
 # (dz,dy)-paired g rows from a 3-slab g window; one (3C,W)x(9Cout,W)ᵀ
-# MXU dot accumulates into a tiny (3C, 9Cout) f32 scratch. A/B knob,
-# default off until the chip run.
-_PWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_PWGRAD", "0") not in ("0", "")
+# MXU dot accumulates into a tiny (3C, 9Cout) f32 scratch.
+# Chip A/B (r4j, clean bracket, dx-only flat 69.2 across arms): RegNet
+# stage dk+dx 206.02 / 206.07 -> 124.60 ms, i.e. dk 136.8 -> 55.4 ms
+# (-60%). DEFAULT ON; 0 restores XLA's wgrad convs.
+_PWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_PWGRAD", "1") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
