@@ -218,6 +218,54 @@ def bench_train(use_pallas: bool = True):
             "spread_pct": _spread_pct(samples)}
 
 
+def bench_train_gru(use_pallas: bool = True):
+    """R-MVSNet classification train step (reference train.py:194-196 ran
+    this path in production; VERDICT r4 #6: it never had a chip number)."""
+    import jax
+    import jax.numpy as jnp
+    from mvsnet_tpu import train_lib
+    from mvsnet_tpu.config import ModelConfig, TrainConfig
+    from mvsnet_tpu.models import MVSNet
+
+    height, width, max_d, view_num = 480, 640, 192, 3
+    cfg = ModelConfig(view_num=view_num, max_d=max_d, width=width,
+                      height=height, network_mode="lite",
+                      compute_dtype="bfloat16", regularization="GRU",
+                      use_pallas=use_pallas)
+    tcfg = TrainConfig()
+    model = MVSNet(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal(
+        (1, view_num, height, width, 3)).astype(np.float32)
+    depth_start, depth_interval = 425.0, 2.5
+    cams = make_rig(view_num, width, height, depth_start, depth_interval,
+                    max_d)
+    cams_s = cams.copy()
+    cams_s[:, :, 1, :3, :3] *= 0.25
+    cams_s[:, :, 1, 2, 2] = 1.0
+    h, w = height // 4, width // 4
+    gt = rng.uniform(depth_start, depth_start + 190 * depth_interval,
+                     (1, h, w, 1)).astype(np.float32)
+    gt_full = rng.uniform(depth_start, depth_start + 190 * depth_interval,
+                          (1, height, width, 1)).astype(np.float32)
+    batch = (images, cams_s, gt, gt_full)
+    state = train_lib.create_train_state(model, cfg, tcfg,
+                                         jax.random.PRNGKey(0), batch)
+    step_fn = train_lib.make_train_step(model, cfg, tcfg, donate=False)
+
+    def step(carry):
+        b = (images + carry * 1e-30,) + batch[1:]
+        new_state, metrics = step_fn(state, b)
+        psum = sum(jnp.sum(p.astype(jnp.float32))
+                   for p in jax.tree.leaves(new_state.params))
+        return metrics["loss"].astype(jnp.float32) + 0.0 * psum
+
+    dt, samples = timed_loop(step, iters=3)
+    return {"metric": "train_step_sec_640x480_d192_gru_lite",
+            "value": round(dt, 4), "unit": "s/step", "vs_baseline": 0.0,
+            "spread_pct": _spread_pct(samples)}
+
+
 def _stale_path() -> str:
     repo = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(repo, "bench_logs", "last_bench.json")
@@ -292,7 +340,7 @@ def _run_extras(headline_metric: str) -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(os.path.join(repo, "bench_logs"), exist_ok=True)
     out_path = os.path.join(repo, "bench_logs", "bench_extras.jsonl")
-    for extra in ("gru", "train", "3dcnn"):
+    for extra in ("gru", "train", "train_gru", "3dcnn"):
         if extra == headline_metric:
             continue
         env = dict(os.environ)
@@ -356,6 +404,7 @@ def main() -> int:
         "3dcnn": "depth_maps_per_sec_1152x864_d192_3dcnn",
         "gru": "depth_maps_per_sec_1600x1184_d256_gru_wta",
         "train": "train_step_sec_640x480_d192_lite",
+        "train_gru": "train_step_sec_640x480_d192_gru_lite",
     }
     stale = _load_stale(metric_names.get(metric, metric))
     if stale is not None:
@@ -381,7 +430,8 @@ def main() -> int:
         print("bench.py: tunnel down, retrying probe in 60 s",
               file=sys.stderr, flush=True)
         time.sleep(60)
-    fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train}[metric]
+    fn = {"3dcnn": bench_3dcnn, "gru": bench_gru, "train": bench_train,
+          "train_gru": bench_train_gru}[metric]
     try:
         result = fn()
     except Exception as e:  # noqa: BLE001

@@ -287,8 +287,21 @@ def _make_rowdeconv3d(cw_in: bool, cw_out: bool):
         x_n = _swap_cw(x) if cw_in else x
         g_n = _swap_cw(g) if cw_out else g
         from mvsnet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
-            _XWGRAD, _wgrad_matmul_s2)
-        if _XWGRAD:
+            _PWGRAD_S2, _XWGRAD, _pallas_wgrad_s2, _wgrad_matmul_s2,
+            rowconv3d_dks2_supported)
+        if _PWGRAD_S2 and rowconv3d_dks2_supported(
+                gD, gH, gW, kernel.shape[4], kernel.shape[3], g.dtype):
+            # <deconv(x,k), g> = <x, conv_s2(g, q(k))> (q = flip+swap,
+            # involutive): dk is the q-image of the Pallas s2 wgrad with
+            # the roles reversed — "source" = full-res cotangent g,
+            # "cotangent" = half-res input x.
+            gx_cw = g if cw_out else _swap_cw(g)
+            xi_cw = x if cw_in else _swap_cw(x)
+            dq = _pallas_wgrad_s2(gx_cw, xi_cw,
+                                  interpret=_auto_interpret())
+            dk = jnp.transpose(dq[::-1, ::-1, ::-1],
+                               (0, 1, 2, 4, 3)).astype(kernel.dtype)
+        elif _XWGRAD:
             # <deconv(x,k), g> = <x, conv_s2(g, q(k))> with the involutive
             # q = flip+swap (see _conv_grad_kernel), so dk is the q-image
             # of the s2 conv's wgrad with the roles reversed.

@@ -566,6 +566,14 @@ _WIDE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_WIDE", "1")))
 # show Mosaic already overlaps ~18 ms; holding two live tents only adds
 # scratch pressure. Default OFF, kept for the record like FSTORE.
 _XPIPE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_XPIPE", "0")))
+# A/B knob: per-instance CONDITIONAL second static block. Host-side span
+# stats at the 3DCNN point (tools/span_stats): 38% of (group, view, depth)
+# instances have union span <= BAND (nextra == 0) — for them the masked
+# second block is pure MXU/VPU waste (~19% of the tap-matmul budget).
+# One lax.cond per instance around the whole hw1+combine1 — a single
+# scalar-predicated region, NOT the per-row dynamic while-loop that
+# stalled the pipeline in rounds 1-2. WIDE path (the default) only.
+_COND2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COND2", "0")))
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
@@ -785,7 +793,19 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                                                 ycat)
                         else:
                             wv = vertw(hwfull(rbase), rbase, None, ycat)
-                            if _STATIC2:
+                            if _STATIC2 and _COND2:
+                                def blk1(_, rbase=rbase, ycat=ycat,
+                                         hwfull=hwfull, vertw=vertw):
+                                    lo1 = rbase + BAND
+                                    start1 = jnp.minimum(lo1, H - BAND)
+                                    return vertw(hwfull(start1), start1,
+                                                 (lo1, lo1 + (BAND - 1)),
+                                                 ycat)
+
+                                wv = wv + jax.lax.cond(
+                                    nex >= 1, blk1,
+                                    lambda _: jnp.zeros_like(wv), 0)
+                            elif _STATIC2:
                                 lo1 = rbase + BAND
                                 start1 = jnp.minimum(lo1, H - BAND)
                                 wv = wv + vertw(hwfull(start1), start1,
@@ -1436,6 +1456,13 @@ pallas_warp_all_depths_ad.defvjp(_warp_ad_fwd, _warp_ad_bwd)
 # Peak f32 bwd working set for the fused-cost VJP (all V volumes of one
 # depth chunk live at once); matches cost_volume.py's accumulator bound.
 _COST_AD_CHUNK_BYTES = 2 * 1024 ** 3
+# Diagnostic ablations for the VJP backward (WRONG NUMERICS — bench-only,
+# VERDICT r5 #2: decompose the 208 ms train cost stage the way r4c
+# ablated the forward):
+#   warp  = skip the per-view warp recompute (warped := ref broadcast)
+#   elem  = skip the mean/cotangent elementwise (cot := gd)
+#   tpose = skip the transposed-warp scatter (d_view := cot depth-sum)
+_COSTAD_ABLATE = _os.environ.get("MVSNET_TPU_COSTAD_ABLATE", "")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -1488,18 +1515,34 @@ def _cost_ad_bwd(interpret, cw_out, residuals, g):
     scale = 2.0 / V
     for c0 in range(0, D, dc):
         gd = g32[c0:c0 + dc]
-        warped = [pallas_warp_all_depths(
-            views[v], homs[v, c0:c0 + dc],
-            interpret=interpret).astype(jnp.float32) for v in range(Vm1)]
-        mean = ref32[None]
-        for w in warped:
-            mean = mean + w
-        mean = mean / V
-        d_ref = d_ref + scale * jnp.sum((ref32[None] - mean) * gd, axis=0)
+        if _COSTAD_ABLATE == "warp":
+            nd = gd.shape[0]
+            warped = [jnp.broadcast_to(ref32[None] * (v + 2.0),
+                                       (nd, H, W, C)) for v in range(Vm1)]
+        else:
+            warped = [pallas_warp_all_depths(
+                views[v], homs[v, c0:c0 + dc],
+                interpret=interpret).astype(jnp.float32) for v in range(Vm1)]
+        if _COSTAD_ABLATE == "elem":
+            # cheap per-volume anchor so XLA can't DCE the warp recompute
+            anchor = sum(w[0, 0, 0, 0] for w in warped)
+            d_ref = d_ref + jnp.sum(gd, axis=0) + anchor * 1e-30
+            cots = [gd for _ in range(Vm1)]
+        else:
+            mean = ref32[None]
+            for w in warped:
+                mean = mean + w
+            mean = mean / V
+            d_ref = d_ref + scale * jnp.sum((ref32[None] - mean) * gd,
+                                            axis=0)
+            cots = [scale * (warped[v] - mean) * gd for v in range(Vm1)]
         for v in range(Vm1):
-            cot = scale * (warped[v] - mean) * gd
-            d_views[v] = d_views[v] + _pallas_warp_transpose(
-                cot, homs[v, c0:c0 + dc], H, W, C, interpret=interpret)
+            if _COSTAD_ABLATE == "tpose":
+                d_views[v] = d_views[v] + jnp.sum(cots[v], axis=0)
+            else:
+                d_views[v] = d_views[v] + _pallas_warp_transpose(
+                    cots[v], homs[v, c0:c0 + dc], H, W, C,
+                    interpret=interpret)
     return (d_ref.astype(ref.dtype),
             jnp.stack(d_views).astype(views.dtype),
             jnp.zeros_like(homs))

@@ -863,6 +863,65 @@ class TestRowConv3D:
             monkeypatch.delenv("MVSNET_TPU_CONV3D_PWGRAD")
             importlib.reload(conv3d)
 
+    @pytest.mark.parametrize("case", ["s2", "s2_cw", "deconv", "deconv_cw"])
+    def test_pwgrad_s2_matches_xla(self, monkeypatch, case):
+        """MVSNET_TPU_CONV3D_PWGRAD_S2: Pallas s2/deconv weight grad
+        (g-centric in-VMEM kernel over lane-parity pre-split source) ==
+        XLA's native conv/deconv wgrad."""
+        import importlib
+
+        from mvsnet_tpu.ops.pallas import conv3d, deconv3d
+
+        monkeypatch.setenv("MVSNET_TPU_CONV3D_PWGRAD_S2", "1")
+        importlib.reload(conv3d)
+        importlib.reload(deconv3d)
+        try:
+            assert conv3d._PWGRAD_S2
+            rng = np.random.default_rng(31)
+            k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1,
+                            jnp.float32)
+            cwf = case.endswith("_cw")
+            if case.startswith("deconv"):
+                assert conv3d.rowconv3d_dks2_supported(8, 16, 32, 8, 16,
+                                                       jnp.float32)
+                x = jnp.asarray(rng.standard_normal((2, 4, 8, 16, 16)),
+                                jnp.float32)
+                g = jnp.asarray(rng.standard_normal((2, 8, 16, 32, 8)),
+                                jnp.float32)
+                if cwf:
+                    fn = lambda a, b: jnp.swapaxes(deconv3d.rowdeconv3d(
+                        jnp.swapaxes(a, -1, -2), b, cw_in=True,
+                        cw_out=True), -1, -2)
+                else:
+                    fn = lambda a, b: deconv3d.rowdeconv3d(a, b)
+                ref = lambda a, b: deconv3d._xla_deconv3d(a, b)
+            else:
+                assert conv3d.rowconv3d_dks2_supported(6, 16, 24, 16, 8,
+                                                       jnp.float32)
+                x = jnp.asarray(rng.standard_normal((2, 6, 16, 24, 16)),
+                                jnp.float32)
+                g = jnp.asarray(rng.standard_normal((2, 3, 8, 12, 8)),
+                                jnp.float32)
+                if cwf:
+                    fn = lambda a, b: jnp.swapaxes(conv3d.rowconv3d(
+                        jnp.swapaxes(a, -1, -2), b, 2, cw_in=True,
+                        cw_out=True), -1, -2)
+                else:
+                    fn = lambda a, b: conv3d.rowconv3d(a, b, 2)
+                ref = lambda a, b: conv3d._xla_conv3d(a, b, 2)
+            gx1, gk1 = jax.grad(
+                lambda a, b: jnp.sum(ref(a, b) * g), (0, 1))(x, k)
+            gx2, gk2 = jax.grad(
+                lambda a, b: jnp.sum(fn(a, b) * g), (0, 1))(x, k)
+            np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                                       atol=2e-4, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                                       atol=2e-5, rtol=1e-5)
+        finally:
+            monkeypatch.delenv("MVSNET_TPU_CONV3D_PWGRAD_S2")
+            importlib.reload(conv3d)
+            importlib.reload(deconv3d)
+
     @pytest.mark.parametrize("case", ["s1", "s2", "s1_cw", "deconv"])
     def test_xwgrad_matmul_matches_xla(self, monkeypatch, case):
         """MVSNET_TPU_CONV3D_XWGRAD: dk as one huge-K matmul over

@@ -56,7 +56,7 @@ def main():
             f = net.apply(variables, imgs + carry * 1e-30)
             return jnp.sum(f).astype(jnp.float32)
 
-        t = timed_loop(step, iters=4)
+        t, _sm = timed_loop(step, iters=4)
         print(f"features (3 views): {t*1e3:8.2f} ms")
         results["features"] = round(t, 5)
 
@@ -80,7 +80,7 @@ def main():
                                          * 1e-30, views, homs)
             return jnp.sum(cv.astype(jnp.float32))
 
-        t = timed_loop(step, iters=3)
+        t, _sm = timed_loop(step, iters=3)
         print(f"cost volume:        {t*1e3:8.2f} ms")
         results["cost"] = round(t, 5)
 
@@ -107,7 +107,7 @@ def main():
             r = sweep(cost_by_depth + carry.astype(jnp.bfloat16) * 1e-30)
             return jnp.sum(r)
 
-        t = timed_loop(step, iters=3)
+        t, _sm = timed_loop(step, iters=3)
         print(f"gru scan (D=256):   {t*1e3:8.2f} ms")
         results["gru"] = round(t, 5)
 
@@ -131,7 +131,7 @@ def main():
             return (jnp.sum(dep) + jnp.sum(mx / (es + 1e-7))).astype(
                 jnp.float32)
 
-        t = timed_loop(step, iters=3)
+        t, _sm = timed_loop(step, iters=3)
         print(f"wta tail:           {t*1e3:8.2f} ms")
         results["wta"] = round(t, 5)
 
