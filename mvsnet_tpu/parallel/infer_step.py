@@ -79,17 +79,23 @@ def make_sharded_forward(model: MVSNet, cfg: ModelConfig, mesh: Mesh):
         return apply_forward_3dcnn(model, variables, images, cams,
                                    depth_start, depth_interval)
 
-    def jitted(variables, images, cams, depth_start, depth_interval):
+    def jit_for(B: int):
         # in_shardings chosen per traced batch: B=1 / non-divisible batches
         # (latency regime) can't satisfy a 'data'-sharded input spec — they
         # stay replicated and the in-model constraints shard the volume.
-        B = images.shape[0]
         x_shard = data_sharded if B % mesh.shape["data"] == 0 else repl
         return jax.jit(
             forward,
             in_shardings=(repl, x_shard, x_shard, x_shard, x_shard),
-        )(variables, images, cams, depth_start, depth_interval)
+        )
 
+    def jitted(variables, images, cams, depth_start, depth_interval):
+        return jit_for(images.shape[0])(variables, images, cams,
+                                        depth_start, depth_interval)
+
+    # exposed for the HLO collective audit (tests/test_parallel.py): lower
+    # + compile the latency regime and inspect the partitioned module
+    jitted.jit_for = jit_for
     return jitted
 
 

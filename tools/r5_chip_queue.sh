@@ -115,6 +115,11 @@ run c2_gru_def 2400 python tools/bench_sweep.py --point gru --skip-warp --skip-c
 # 5. GRU classification train step (first-ever chip number)
 run train_gru 7200 env BENCH_METRIC=train_gru BENCH_EXTRAS=0 python bench.py
 
+# 6. CW-vs-noCW GRU e2e (queued since r2, BENCHMARKS.md:154)
+run gru_cw_def 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 python bench.py
+run gru_cw_off 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 MVSNET_TPU_CW=0 \
+    python bench.py
+
 cd "$REPO"
 git worktree remove --force "$SNAP" >> "$L" 2>&1
 say "r5 queue done"
