@@ -574,10 +574,22 @@ _XPIPE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_XPIPE", "0")))
 # scalar-predicated region, NOT the per-row dynamic while-loop that
 # stalled the pipeline in rounds 1-2. WIDE path (the default) only.
 _COND2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COND2", "0")))
+# A/B knob: avoid C-chunking at the GRU point by admitting FULL-C slab
+# tables in the UNTRANSPOSED layout at an extended VMEM limit. The GRU
+# point's full-C tables are 121 MiB non-TSLAB ((H, W, BAND*C): lanes =
+# BAND*C = 256 exact, no pad) vs 155 MiB TSLAB (W 400 -> 512 lane pad) —
+# the 112 MiB scoped limit C-chunks them, and every chunk REBUILDS the
+# horizontal tents (~40% of kernel time at r4c's attribution). v5e has
+# 128 MiB VMEM/core; 126 MiB leaves ~7 MB for the streamed blocks.
+# Trade: tents built once (-~30% at the GRU point if the model holds)
+# vs losing TSLAB's MXU-native orientation (+3% win at 3DCNN).
+_CFULL = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_CFULL", "0")))
+_VMEM_EXT = 126 * 2 ** 20
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
-                                    NT: int, KBLK: int, G: int):
+                                    NT: int, KBLK: int, G: int,
+                                    tslab=None):
     """Group-row slab-table cost kernel (see _PAIR/_GROUP note above).
 
     Tables (rb/ne/jb/ke) are per (view, tile, GROUP): the vertical band and
@@ -587,7 +599,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
     view_num = view_count_minus_1 + 1
     TW = W // NT
     RP = ROWS_PER_CELL // G
-    tslab = _TSLAB and KBLK == W
+    if tslab is None:
+        tslab = _TSLAB and KBLK == W
 
     def kernel(x_ref, y_ref, rb_ref, ne_ref, jb_ref, ke_ref, reft_ref,
                cats_hbm, out_ref, cats_vmem, sem):
@@ -942,6 +955,24 @@ def _preload_group_cchunk(height, width, channels, view_count_minus_1, G,
                            dtype)
 
 
+def _group_full_c_layout(height, width, channels, view_count_minus_1,
+                         dtype=jnp.bfloat16):
+    """(tslab, vmem_limit) if FULL-C tables fit under _CFULL's extended
+    budget in the untransposed layout, else None (see _CFULL)."""
+    if not _CFULL:
+        return None
+    item = jnp.dtype(dtype).itemsize
+    scratch = (view_count_minus_1 * height * width
+               * _lane_pad(BAND * channels) * item)
+    work = (width * width * 4 * 2
+            + 3 * BAND * channels * width * 4
+            + 4 * ROWS_PER_CELL * width * 4 * 2
+            + 4 * ROWS_PER_CELL * channels * width * 4)
+    if scratch + work < _VMEM_EXT - 4 * 2 ** 20:
+        return False, _VMEM_EXT
+    return None
+
+
 def _group_params(height, width, channels, view_count_minus_1,
                   dtype=jnp.bfloat16):
     """(G, cchunk) for the best eligible group size (G=1/cchunk=0: none).
@@ -960,24 +991,32 @@ def _group_params(height, width, channels, view_count_minus_1,
 
 def _preload_call_group(ref_feature, view_features, x, y, tables, H, W,
                         out_rows, NT, KBLK, Vm1, interpret, cw_out=False,
-                        G=2):
+                        G=2, tslab=None, vmem_limit=None):
     D = x.shape[1]
     C = ref_feature.shape[-1]
     rows_blocks = out_rows // ROWS_PER_CELL
     rp = ROWS_PER_CELL // G
-    if _TSLAB and KBLK == W:
+    if tslab is None:
+        tslab = _TSLAB and KBLK == W
+    if tslab:
         cats = jax.vmap(_band_cats)(view_features)
         cats = jnp.transpose(cats, (0, 1, 3, 2))     # (Vm1, H, BAND*C, W)
     else:
         cats = jax.vmap(_band_cats)(view_features)   # (Vm1, H, W, BAND*C)
     reft = jnp.transpose(ref_feature, (0, 2, 1))     # (rows, C, W)
+    params = _ARBITRARY2
+    if vmem_limit is not None and vmem_limit != _VMEM_LIMIT:
+        params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit)
 
     grid = (D, rows_blocks)
     smem_spec = pl.BlockSpec((Vm1, 1, 1, NT, rp),
                              lambda d, rb: (0, d, rb, 0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        _make_cost_kernel_preload_group(Vm1, H, W, NT, KBLK, G),
+        _make_cost_kernel_preload_group(Vm1, H, W, NT, KBLK, G,
+                                        tslab=tslab),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Vm1, 1, ROWS_PER_CELL, W),
@@ -999,7 +1038,7 @@ def _preload_call_group(ref_feature, view_features, x, y, tables, H, W,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-        compiler_params=_ARBITRARY2,
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
             flops=2 * D * out_rows * W * KBLK * BAND * C * Vm1,
             bytes_accessed=(D * out_rows * W * C * ref_feature.dtype.itemsize
@@ -1154,6 +1193,16 @@ def _pallas_cost_volume_preload(ref_feature, view_features, homographies,
         tables = _group_tables(x, y, H, W, NT, KBLK, rows_blocks, G)
         call = functools.partial(_preload_call_group, G=G)
         cchunk = group_cchunk
+        if cchunk < C and NT == 1:
+            # C-chunking rebuilds every horizontal tent per chunk; a
+            # full-C untransposed-table call at the extended VMEM limit
+            # builds them once (_CFULL, GRU-point A/B)
+            full = _group_full_c_layout(H, W, C, Vm1, view_features.dtype)
+            if full is not None:
+                tslab_f, vmem_f = full
+                call = functools.partial(_preload_call_group, G=G,
+                                         tslab=tslab_f, vmem_limit=vmem_f)
+                cchunk = C
     else:
         NT, TW, KBLK = _tile_params(W)
         xt = x.reshape(Vm1, D, out_rows, NT, TW)

@@ -73,7 +73,9 @@ cd "$SNAP" || { say "FATAL: snapshot worktree failed"; exit 1; }
 rm -rf "$SNAP/bench_logs" && ln -s "$REPO/bench_logs" "$SNAP/bench_logs"
 say "snapshot at $(git rev-parse --short HEAD)"
 
-# 0. smokes
+# 0. smokes (+ GRU scan/wta stages lost to the first bench_gru timeout)
+run gru_stage_scan 7200 python tools/bench_gru.py --part gru
+run gru_stage_wta 3600 python tools/bench_gru.py --part wta
 run smoke_dks2 3600 python tools/probe_dks2.py
 run smoke_cond2 2400 env MVSNET_TPU_SWEEP_COND2=1 \
     python tools/bench_sweep.py --small
@@ -111,6 +113,12 @@ run c2_3d_def_b 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --ski
 run c2_gru_on 2400 env MVSNET_TPU_SWEEP_COND2=1 \
     python tools/bench_sweep.py --point gru --skip-warp --skip-check
 run c2_gru_def 2400 python tools/bench_sweep.py --point gru --skip-warp --skip-check
+
+# 4b. CFULL at the GRU point (full-C untransposed tables @126MiB vs the
+#     C-chunked default that rebuilds every tent)
+run cfull_gru_on 2400 env MVSNET_TPU_SWEEP_CFULL=1 \
+    python tools/bench_sweep.py --point gru --skip-warp --skip-check
+run cfull_gru_def 1200 python tools/bench_sweep.py --point gru --skip-warp --skip-check
 
 # 5. GRU classification train step (first-ever chip number)
 run train_gru 7200 env BENCH_METRIC=train_gru BENCH_EXTRAS=0 python bench.py
