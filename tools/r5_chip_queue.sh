@@ -128,6 +128,12 @@ run gru_cw_def 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 python bench.py
 run gru_cw_off 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 MVSNET_TPU_CW=0 \
     python bench.py
 
+# 7. PACK2D=2 at the GRU e2e point: W=400 makes 2-row lane packing
+#    pad-neutral (800->1024 vs 400->512) while halving the per-row
+#    fixed cost that dominates the 256-step scan's small-C convs
+run gru_pack2 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 \
+    MVSNET_TPU_CONV_PACK2D=2 python bench.py
+
 cd "$REPO"
 git worktree remove --force "$SNAP" >> "$L" 2>&1
 say "r5 queue done"
