@@ -585,6 +585,14 @@ _COND2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COND2", "0")))
 # vs losing TSLAB's MXU-native orientation (+3% win at 3DCNN).
 _CFULL = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_CFULL", "0")))
 _VMEM_EXT = 126 * 2 ** 20
+# A/B knob: WITHIN-instance tent/matmul pipeline by splitting the group's
+# N axis in half. Where XPIPE (refuted) held TWO full instances' tents
+# live across the body, HSPLIT builds half-tents (KBLK, G/2*TW) and
+# interleaves in program order [tent_a, mm0_a, tent_b, mm0_b, mm1_a,
+# comb_a, mm1_b, comb_b] — the VPU builds half b's tent under half a's
+# MXU pass at only 1.5 tents of peak scratch. WIDE+STATIC2, NT=1,
+# G even only.
+_HSPLIT = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_HSPLIT", "0")))
 
 
 def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
@@ -634,6 +642,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
         # cross-instance tent pipeline (see _XPIPE): tent(n+1) is built
         # between instance n's matmul issues and its combines
         xpipe = _XPIPE and NT == 1 and not _ABLATE
+        hsplit = (_HSPLIT and wide and _STATIC2 and G % 2 == 0
+                  and NT == 1 and not _ABLATE and not xpipe)
 
         def xcat_of(p2, v2):
             ys2 = [G * p2 + g for g in range(G)]
@@ -673,6 +683,8 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                         wx0 = (base_cols * 1e-3).astype(src_dtype)
                     elif xpipe:
                         wx0 = tent_next                  # built last instance
+                    elif hsplit:
+                        wx0 = None                       # per-half tents below
                     else:
                         wx0 = _tent_cols(base_cols, xcat, src_dtype)
                     # (KBLK, G*TW)
@@ -732,12 +744,14 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                             hw = jax.lax.fori_loop(1, kex + 1, hextra, hw)
                         return hw.astype(hw_dtype)
 
-                    def vertw(hw, start, masked, ycat_=None):
+                    def vertw(hw, start, masked, ycat_=None,
+                              iota_=None):
                         if _ABLATE == "comb":
                             return hw[0:C, :].astype(jnp.float32)
                         # full-width combine: one rw build + BAND FMAs at
                         # (C, G*TW) instead of G sliced ones (see _WIDE)
-                        rows = start.astype(jnp.float32) + iota_bg
+                        rows = start.astype(jnp.float32) + (
+                            iota_bg if iota_ is None else iota_)
                         rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - ycat_))
                         if masked is not None:
                             lo, hi = masked
@@ -786,7 +800,62 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                     # residual masked blocks are zero-trip
                     if wide:
                         ycat = jnp.concatenate(yrows, axis=1)  # (1, G*TW)
-                        if xpipe:
+                        if hsplit:
+                            # within-instance N-split pipeline (_HSPLIT):
+                            # half b's tent builds on the VPU while half
+                            # a's tap matmuls run on the MXU
+                            gh = G // 2
+                            TWh = gh * TW
+                            iota_kh = jax.lax.broadcasted_iota(
+                                jnp.int32, (KBLK, TWh), 0).astype(jnp.float32)
+                            iota_bh = jax.lax.broadcasted_iota(
+                                jnp.int32, (BAND, TWh), 0).astype(jnp.float32)
+                            xc = [jnp.concatenate(
+                                [x_ref[v, 0, yy:yy + 1, :]
+                                 for yy in ys[h2 * gh:(h2 + 1) * gh]],
+                                axis=1) for h2 in range(2)]
+                            yc = [jnp.concatenate(
+                                yrows[h2 * gh:(h2 + 1) * gh], axis=1)
+                                for h2 in range(2)]
+                            lo1 = rbase + BAND
+                            start1 = jnp.minimum(lo1, H - BAND)
+                            m1 = (lo1, lo1 + (BAND - 1))
+                            wx_a = _tent_cols(iota_kh, xc[0], src_dtype)
+                            hw0_a = hwin(rbase, jb8, None, wx0=wx_a)
+                            wx_b = _tent_cols(iota_kh, xc[1], src_dtype)
+                            hw0_b = hwin(rbase, jb8, None, wx0=wx_b)
+                            hw1_a = hwin(start1, jb8, None, wx0=wx_a)
+                            wv_a = (vertw(hw0_a.astype(hw_dtype), rbase,
+                                          None, yc[0], iota_=iota_bh)
+                                    + vertw(hw1_a.astype(hw_dtype), start1,
+                                            m1, yc[0], iota_=iota_bh))
+                            hw1_b = hwin(start1, jb8, None, wx0=wx_b)
+                            wv_b = (vertw(hw0_b.astype(hw_dtype), rbase,
+                                          None, yc[1], iota_=iota_bh)
+                                    + vertw(hw1_b.astype(hw_dtype), start1,
+                                            m1, yc[1], iota_=iota_bh))
+                            wv = jnp.concatenate([wv_a, wv_b], axis=1)
+
+                            def extraw2(k, acc, rbase=rbase, wx_a=wx_a,
+                                        wx_b=wx_b, yc=yc, jb8=jb8,
+                                        hwin=hwin, vertw=vertw,
+                                        iota_bh=iota_bh):
+                                lo = rbase + k * BAND
+                                start = jnp.minimum(lo, H - BAND)
+                                m = (lo, lo + (BAND - 1))
+                                e_a = vertw(
+                                    hwin(start, jb8, None,
+                                         wx0=wx_a).astype(hw_dtype),
+                                    start, m, yc[0], iota_=iota_bh)
+                                e_b = vertw(
+                                    hwin(start, jb8, None,
+                                         wx0=wx_b).astype(hw_dtype),
+                                    start, m, yc[1], iota_=iota_bh)
+                                return acc + jnp.concatenate([e_a, e_b],
+                                                             axis=1)
+
+                            wv = jax.lax.fori_loop(2, nex + 1, extraw2, wv)
+                        elif xpipe:
                             # matmuls first, tent(n+1) under them, then
                             # the combines (which await the matmuls)
                             hw0 = hwfull(rbase)
@@ -825,15 +894,17 @@ def _make_cost_kernel_preload_group(view_count_minus_1: int, H: int, W: int,
                                                 (lo1, lo1 + (BAND - 1)),
                                                 ycat)
 
-                        def extraw(k, acc, rbase=rbase, hwfull=hwfull,
-                                   vertw=vertw, ycat=ycat):
-                            lo = rbase + k * BAND
-                            start = jnp.minimum(lo, H - BAND)
-                            return acc + vertw(hwfull(start), start,
-                                               (lo, lo + (BAND - 1)), ycat)
+                        if not hsplit:
+                            def extraw(k, acc, rbase=rbase, hwfull=hwfull,
+                                       vertw=vertw, ycat=ycat):
+                                lo = rbase + k * BAND
+                                start = jnp.minimum(lo, H - BAND)
+                                return acc + vertw(hwfull(start), start,
+                                                   (lo, lo + (BAND - 1)),
+                                                   ycat)
 
-                        wv = jax.lax.fori_loop(2 if _STATIC2 else 1,
-                                               nex + 1, extraw, wv)
+                            wv = jax.lax.fori_loop(2 if _STATIC2 else 1,
+                                                   nex + 1, extraw, wv)
                         if sums_w is None:
                             sums_w, sqs_w = wv, wv * wv
                         else:

@@ -114,6 +114,13 @@ run c2_gru_on 2400 env MVSNET_TPU_SWEEP_COND2=1 \
     python tools/bench_sweep.py --point gru --skip-warp --skip-check
 run c2_gru_def 2400 python tools/bench_sweep.py --point gru --skip-warp --skip-check
 
+# 4a2. HSPLIT within-instance tent/matmul pipeline at both points
+run hs_3d_on 2400 env MVSNET_TPU_SWEEP_HSPLIT=1 \
+    python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run hs_3d_def 1200 python tools/bench_sweep.py --point 3dcnn --skip-warp --skip-check
+run hs_gru_on 2400 env MVSNET_TPU_SWEEP_HSPLIT=1 \
+    python tools/bench_sweep.py --point gru --skip-warp --skip-check
+
 # 4b. CFULL at the GRU point (full-C untransposed tables @126MiB vs the
 #     C-chunked default that rebuilds every tent)
 run cfull_gru_on 2400 env MVSNET_TPU_SWEEP_CFULL=1 \
