@@ -73,12 +73,8 @@ cd "$SNAP" || { say "FATAL: snapshot worktree failed"; exit 1; }
 rm -rf "$SNAP/bench_logs" && ln -s "$REPO/bench_logs" "$SNAP/bench_logs"
 say "snapshot at $(git rev-parse --short HEAD)"
 
-# 0. smokes (+ GRU scan/wta stages lost to the first bench_gru timeout)
-run gru_stage_scan 7200 python tools/bench_gru.py --part gru
-run gru_stage_wta 3600 python tools/bench_gru.py --part wta
+# 0. dks2 smoke (gates the PWGRAD_S2 flip decision)
 run smoke_dks2 3600 python tools/probe_dks2.py
-run smoke_cond2 2400 env MVSNET_TPU_SWEEP_COND2=1 \
-    python tools/bench_sweep.py --small
 
 # 1. new train-stage probes at defaults (the 80 ms residual)
 run tr_loss 2400 python tools/bench_train_stages.py --stage loss
@@ -129,6 +125,11 @@ run cfull_gru_def 1200 python tools/bench_sweep.py --point gru --skip-warp --ski
 
 # 5. GRU classification train step (first-ever chip number)
 run train_gru 7200 env BENCH_METRIC=train_gru BENCH_EXTRAS=0 python bench.py
+
+# 5b. GRU scan/wta stages (lost to the first bench_gru timeout; the
+#     256-step scan compile alone exceeded 40 min via the tunnel)
+run gru_stage_scan 7200 python tools/bench_gru.py --part gru
+run gru_stage_wta 3600 python tools/bench_gru.py --part wta
 
 # 6. CW-vs-noCW GRU e2e (queued since r2, BENCHMARKS.md:154)
 run gru_cw_def 7200 env BENCH_METRIC=gru BENCH_EXTRAS=0 python bench.py
