@@ -119,8 +119,12 @@ _PWGRAD = _os.environ.get("MVSNET_TPU_CONV3D_PWGRAD", "1") not in ("0", "")
 # dks1 at the same input), and nothing is materialized in HBM.
 # Serves BOTH the s2 conv dk and (roles reversed + q-involution, see
 # deconv3d.py bwd) the deconv dk.
+# Chip (r5 queue, 00:02-00:35 UTC, bracketed): RegNet stage dk+dx
+# 124.17 / 115.16 / 124.03 ms (dk 54.8 -> 45.9, -16%); full step
+# 439.88 -> 433.75 ms. Kernel-level smoke vs the XWGRAD matmul form:
+# 1.35 vs 100.2 ms at (192,120,160,8->16), err <= 3e-6. DEFAULT ON.
 _PWGRAD_S2 = _os.environ.get(
-    "MVSNET_TPU_CONV3D_PWGRAD_S2", "0") not in ("0", "")
+    "MVSNET_TPU_CONV3D_PWGRAD_S2", "1") not in ("0", "")
 
 
 def _unroll_for(steps: int) -> int:
