@@ -1410,6 +1410,173 @@ def _coords_by_cell(homographies, H, W):
     return x, y_t
 
 
+def _make_warp_kernel_preload_group(H: int, W: int, G: int, C: int,
+                                    tslab: bool):
+    """Warp-only edition of the group slab-table kernel: same tents,
+    bands, and tap matmuls as _make_cost_kernel_preload_group at Vm1=1,
+    but emits the warped rows instead of the cross-view variance.
+
+    Exists for the fused-cost VJP (r5 chip ablation: the backward's
+    per-view warp recompute through the OLD single-row _sweep_kernel was
+    ~120 ms of the 208 ms train cost stage — ~2.6 us/row vs the group
+    kernel's ~0.6 us/row-view)."""
+    RP = ROWS_PER_CELL // G
+    TW = W
+
+    def kernel(x_ref, y_ref, rb_ref, ne_ref, cats_hbm, out_ref,
+               cats_vmem, sem):
+        # x/y: (1, 1, ROWS, W) f32; rb/ne: (1, 1, 1, 1, RP) i32 SMEM;
+        # cats_hbm: (1, H, W, BAND*C) ANY ((1, H, BAND*C, W) tslab);
+        # out: (1, ROWS, C, W); cats_vmem: persistent scratch.
+        src_dtype = cats_vmem.dtype
+        precision = _precision_for(src_dtype)
+
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            dma = pltpu.make_async_copy(cats_hbm, cats_vmem, sem)
+            dma.start()
+            dma.wait()
+
+        iota_kg = jax.lax.broadcasted_iota(jnp.int32, (W, G * TW), 0)
+        iota_kg = iota_kg.astype(jnp.float32)
+        iota_bg = jax.lax.broadcasted_iota(jnp.int32, (BAND, G * TW), 0)
+        iota_bg = iota_bg.astype(jnp.float32)
+
+        for p in range(RP):
+            ys = [G * p + g for g in range(G)]
+            xcat = jnp.concatenate(
+                [x_ref[0, 0, yy:yy + 1, :] for yy in ys], axis=1)
+            yrows = [y_ref[0, 0, yy:yy + 1, :] for yy in ys]
+            ycat = jnp.concatenate(yrows, axis=1)          # (1, G*TW)
+            rbase = rb_ref[0, 0, 0, 0, p]
+            nex = ne_ref[0, 0, 0, 0, p]
+            wx0 = _tent_cols(iota_kg, xcat, src_dtype)     # (W, G*TW)
+
+            def hw_of(start, wx0=wx0):
+                slab = cats_vmem[0, pl.ds(start, 1)]
+                if tslab:
+                    slab = slab.reshape(BAND * C, W)
+                    return jax.lax.dot_general(
+                        slab, wx0, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)               # (BAND*C, G*TW)
+                slab = slab.reshape(W, BAND * C)
+                return jax.lax.dot_general(
+                    slab, wx0, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+
+            def vertw(hw, start, masked, ycat=ycat):
+                rows = start.astype(jnp.float32) + iota_bg
+                rw = jnp.maximum(0.0, 1.0 - jnp.abs(rows - ycat))
+                if masked is not None:
+                    lo, hi = masked
+                    keep = ((rows >= lo.astype(jnp.float32))
+                            & (rows <= hi.astype(jnp.float32)))
+                    rw = jnp.where(keep, rw, 0.0)
+                rw = rw.astype(jnp.float32)
+                a = rw[0:1, :] * hw[0:C, :]
+                for r in range(1, BAND):
+                    a = a + rw[r:r + 1, :] * hw[r * C:(r + 1) * C, :]
+                return a                                   # (C, G*TW)
+
+            wv = vertw(hw_of(rbase), rbase, None)
+            if _STATIC2:
+                lo1 = rbase + BAND
+                start1 = jnp.minimum(lo1, H - BAND)
+                wv = wv + vertw(hw_of(start1), start1,
+                                (lo1, lo1 + (BAND - 1)))
+
+            def extraw(k, acc, rbase=rbase):
+                lo = rbase + k * BAND
+                start = jnp.minimum(lo, H - BAND)
+                return acc + vertw(hw_of(start), start,
+                                   (lo, lo + (BAND - 1)))
+
+            wv = jax.lax.fori_loop(2 if _STATIC2 else 1, nex + 1,
+                                   extraw, wv)
+            for g in range(G):
+                out_ref[0, ys[g]] = wv[:, g * TW:(g + 1) * TW].astype(
+                    out_ref.dtype)
+
+    return kernel
+
+
+def _warp_preload_params(H, W, C, dtype):
+    """(G, tslab) when the group slab-table warp can run (else (0, _))."""
+    g, cchunk = _group_params(H, W, C, 1, dtype)
+    if not cchunk or cchunk < C:
+        return 0, False
+    return g, (_TSLAB or False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_warp_all_depths_preload(img, homographies,
+                                    interpret: bool = False):
+    """Group slab-table warp: (H, W, C) by (D, 3, 3) -> (D, H, W, C)."""
+    H, W, C = img.shape
+    D = homographies.shape[0]
+    G, tslab = _warp_preload_params(H, W, C, img.dtype)
+    x, y = projected_coords(homographies, H, W)
+    x = x.reshape(1, D, H, W)
+    y = y.reshape(1, D, H, W)
+    rows_blocks = H // ROWS_PER_CELL
+    rb, ne, _jb, _ke = _group_tables(x, y, H, W, 1, W, rows_blocks, G)
+    cats = _band_cats(img)[None]                 # (1, H, W, BAND*C)
+    if tslab:
+        cats = jnp.transpose(cats, (0, 1, 3, 2))  # (1, H, BAND*C, W)
+    RP = ROWS_PER_CELL // G
+    smem_spec = pl.BlockSpec((1, 1, 1, 1, RP),
+                             lambda d, rbk: (0, d, rbk, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_warp_kernel_preload_group(H, W, G, C, tslab),
+        grid=(D, rows_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, ROWS_PER_CELL, W),
+                         lambda d, rbk: (0, d, rbk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ROWS_PER_CELL, W),
+                         lambda d, rbk: (0, d, rbk, 0),
+                         memory_space=pltpu.VMEM),
+            smem_spec, smem_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS_PER_CELL, C, W),
+                               lambda d, rbk: (d, rbk, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, H, C, W), img.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(cats.shape, img.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+        compiler_params=_ARBITRARY2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * H * W * W * BAND * C,
+            bytes_accessed=(D * H * W * C * img.dtype.itemsize
+                            + H * W * BAND * C * img.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(x, y, rb, ne, cats)
+    return jnp.transpose(out, (0, 1, 3, 2))      # (D, H, W, C)
+
+
+# The VJP's warp recompute routes the group kernel when it fits (r5
+# ablation: the single-row recompute was ~120 ms of the 208 ms train
+# cost stage). MVSNET_TPU_COSTAD_GWARP=0 restores the old path.
+_GWARP = _os.environ.get("MVSNET_TPU_COSTAD_GWARP", "1") not in ("0", "")
+
+
+def _warp_for_bwd(img, homographies, interpret: bool = False):
+    H, W, C = img.shape
+    if (_GWARP and not interpret
+            and _warp_preload_params(H, W, C, img.dtype)[0] >= 2):
+        return _pallas_warp_all_depths_preload(img, homographies,
+                                               interpret=interpret)
+    return pallas_warp_all_depths(img, homographies, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_warp_all_depths(img, homographies, interpret: bool = False):
     """Warp (H, W, C) by (D, 3, 3) homographies -> (D, H, W, C).
@@ -1640,7 +1807,7 @@ def _cost_ad_bwd(interpret, cw_out, residuals, g):
             warped = [jnp.broadcast_to(ref32[None] * (v + 2.0),
                                        (nd, H, W, C)) for v in range(Vm1)]
         else:
-            warped = [pallas_warp_all_depths(
+            warped = [_warp_for_bwd(
                 views[v], homs[v, c0:c0 + dc],
                 interpret=interpret).astype(jnp.float32) for v in range(Vm1)]
         if _COSTAD_ABLATE == "elem":

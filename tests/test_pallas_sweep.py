@@ -863,6 +863,31 @@ class TestRowConv3D:
             monkeypatch.delenv("MVSNET_TPU_CONV3D_PWGRAD")
             importlib.reload(conv3d)
 
+    def test_group_warp_preload_matches_single_row(self):
+        """The VJP's group slab-table warp (_GWARP) == the single-row
+        warp kernel (same tents/bands; emits rows instead of variance).
+        r5 chip ablation: the single-row recompute was ~120 ms of the
+        208 ms train cost stage."""
+        from bench import make_rig
+        from mvsnet_tpu.ops.geometry import homographies_for_views
+        import mvsnet_tpu.ops.pallas.sweep as sw
+
+        H, W, C, D = 32, 48, 16, 8
+        cams = make_rig(2, W * 4, H * 4, 425.0, 2.5, D)
+        cams[:, :, 1, :3, :3] *= 0.25
+        cams[:, :, 1, 2, 2] = 1.0
+        homs = homographies_for_views(
+            jnp.asarray(cams), D, jnp.array([425.0]), jnp.array([2.5]),
+            jnp.array([425.0 + 7 * 2.5]))
+        h0 = jnp.asarray(np.asarray(homs)[0, 0])
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.standard_normal((H, W, C)), jnp.float32)
+        assert sw._warp_preload_params(H, W, C, img.dtype)[0] >= 2
+        old = sw.pallas_warp_all_depths(img, h0, interpret=True)
+        new = sw._pallas_warp_all_depths_preload(img, h0, interpret=True)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                                   atol=2e-5, rtol=1e-5)
+
     @pytest.mark.parametrize("case", ["s2", "s2_cw", "deconv", "deconv_cw"])
     def test_pwgrad_s2_matches_xla(self, monkeypatch, case):
         """MVSNET_TPU_CONV3D_PWGRAD_S2: Pallas s2/deconv weight grad

@@ -64,6 +64,11 @@ cd "$SNAP" || { say "FATAL: snapshot worktree failed"; exit 1; }
 rm -rf "$SNAP/bench_logs" && ln -s "$REPO/bench_logs" "$SNAP/bench_logs"
 say "snapshot at $(git rev-parse --short HEAD)"
 
+# GWARP cost-stage A/B (the r5 ablation's 120 ms warp-recompute fix)
+run b_cost_gwarp 4800 python tools/bench_train_stages.py --stage cost
+run b_cost_oldwarp 4800 env MVSNET_TPU_COSTAD_GWARP=0 \
+    python tools/bench_train_stages.py --stage cost
+
 # post-flip train stage confirmation
 run b_regnet 4800 python tools/bench_train_stages.py --stage regnet
 run b_step 6000 python tools/bench_train_stages.py --stage step
