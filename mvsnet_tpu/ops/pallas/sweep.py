@@ -573,7 +573,9 @@ _XPIPE = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_XPIPE", "0")))
 # One lax.cond per instance around the whole hw1+combine1 — a single
 # scalar-predicated region, NOT the per-row dynamic while-loop that
 # stalled the pipeline in rounds 1-2. WIDE path (the default) only.
-_COND2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COND2", "0")))
+# Chip A/B (r5 queue, 01:45-01:57 UTC): 3DCNN point 67.1 / 62.6 / 66.8
+# (bracketed, -6.5%); GRU point 63.6 vs 66.2 (-4%). DEFAULT ON.
+_COND2 = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_COND2", "1")))
 # A/B knob: avoid C-chunking at the GRU point by admitting FULL-C slab
 # tables in the UNTRANSPOSED layout at an extended VMEM limit. The GRU
 # point's full-C tables are 121 MiB non-TSLAB ((H, W, BAND*C): lanes =
@@ -592,6 +594,10 @@ _VMEM_EXT = 126 * 2 ** 20
 # comb_a, mm1_b, comb_b] — the VPU builds half b's tent under half a's
 # MXU pass at only 1.5 tents of peak scratch. WIDE+STATIC2, NT=1,
 # G even only.
+# Chip A/B (r5 queue): 3DCNN 68.1 vs def 67.2 — REFUTED, like XPIPE:
+# Mosaic's natural cross-instance overlap already captures what's
+# available; splitting N just halves the matmul tile efficiency.
+# Default OFF, kept for the record.
 _HSPLIT = bool(int(_os.environ.get("MVSNET_TPU_SWEEP_HSPLIT", "0")))
 
 
